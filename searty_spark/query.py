@@ -1,0 +1,158 @@
+"""Query engine, DataFrame-native (SURVEY.md Q1-Q8 + BM25 top-k).
+
+These operators run over the *postings* DataFrame (term, doc_id, tf,
+positions) — the uncompressed row form. The segment-based WAND path
+(wand.py) must produce identical results; both must match oracle.py.
+
+Plan shapes (checked via .explain in tests/bench):
+- query terms reach the scan as an `IN` predicate -> parquet
+  PushedFilters (the analogue of the reference's SQL index seek,
+  ref lib/database/database.go:508-526).
+- per-term df / corpus stats are tiny -> broadcast joins.
+- top-k is orderBy+limit -> TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searty_spark import BM25_B, BM25_K1, NGRAM_N, SCORE_NDIGITS
+from searty_spark.tokenize import tokenize
+
+
+def bm25_score_col(
+    tf: Column, doc_len: Column, avgdl: Column, n_docs: Column, df: Column
+) -> Column:
+    """Okapi BM25 per-(term, doc) partial score, double precision.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1)  (Lucene-style, positive)
+    """
+    idf = F.log((n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+    tf_d = tf.cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * doc_len.cast("double") / avgdl
+    )
+    return idf * tf_d * F.lit(BM25_K1 + 1.0) / denom
+
+
+def bm25_topk(
+    postings: DataFrame,
+    dstats: DataFrame,
+    query: str,
+    k: int = 10,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """Disjunctive BM25 top-k over the query's unique trigrams.
+
+    Returns (doc_id, score) with score rounded to 6 decimals; ranking
+    key (score DESC, doc_id ASC) — deterministic cross-engine
+    (SURVEY.md §7 hard part a). Duplicate query trigrams are deduped
+    (the reference panics on them — phrase_searcher.go:26-32).
+    """
+    spark = postings.sparkSession
+    terms = sorted(set(tokenize(query, n)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cstats = dstats.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    p = postings.filter(F.col("term").isin(terms)).select("term", "doc_id", "tf")
+    dfreq = p.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        p.join(F.broadcast(dfreq), "term")
+        .join(dstats, "doc_id")
+        .crossJoin(F.broadcast(cstats))
+        .select(
+            "doc_id",
+            bm25_score_col(
+                F.col("tf"), F.col("doc_len"), F.col("avgdl"), F.col("n_docs"), F.col("df")
+            ).alias("partial"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), SCORE_NDIGITS).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _query_terms_df(spark: SparkSession, toks: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "offset int, term string"
+    )
+
+
+def phrase_match_starts(
+    postings: DataFrame, query: str, n: int = NGRAM_N
+) -> DataFrame:
+    """(doc_id, rel) — every phrase match start position (Q4+Q5).
+
+    Conjunctive intersection + positional alignment in one aggregation:
+    a row of postings explodes to (term, doc_id, pos); joined with the
+    query's (offset, term) pairs, a match start `rel = pos - offset`
+    must be witnessed by ALL query offsets (count distinct offset ==
+    n_offsets). Duplicate query trigrams contribute one row per offset,
+    so the count handles them exactly (ref semantics minus the panic).
+    """
+    spark = postings.sparkSession
+    toks = tokenize(query, n)
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, rel int")
+    qterms = _query_terms_df(spark, toks)
+    occ = postings.filter(F.col("term").isin(sorted(set(toks)))).select(
+        "term", "doc_id", F.explode("positions").alias("pos")
+    )
+    return (
+        occ.join(F.broadcast(qterms), "term")
+        .select("doc_id", (F.col("pos") - F.col("offset")).alias("rel"), "offset")
+        .groupBy("doc_id", "rel")
+        .agg(F.count_distinct("offset").alias("n_offsets"))
+        .filter(F.col("n_offsets") == len(toks))
+        .select("doc_id", "rel")
+    )
+
+
+def phrase_search(postings: DataFrame, query: str, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id) — docs containing the phrase, ascending (Q1/Q4/Q5)."""
+    return (
+        phrase_match_starts(postings, query, n)
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def phrase_match_ranges(
+    postings: DataFrame, query: str, n: int = NGRAM_N
+) -> DataFrame:
+    """(doc_id, start, end) — coalesced character ranges (Q6+Q7).
+
+    Width = n_tokens - 1 + n == len(query) chars. Island coalescing
+    (ref mergeRanges, phrase_searcher.go:154-186: merge while
+    next.start <= cur.end) via running-max window — no UDF.
+    """
+    toks = tokenize(query, n)
+    width = len(toks) - 1 + n if toks else 0
+    starts = phrase_match_starts(postings, query, n)
+    w = Window.partitionBy("doc_id").orderBy("rel")
+    prev_max_end = F.max(F.col("rel") + F.lit(width)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.sum(
+        F.when(F.col("rel") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0)
+    ).over(w)
+    return (
+        starts.withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("rel").alias("start"),
+            (F.max("rel") + F.lit(width)).alias("end"),
+        )
+        .select("doc_id", "start", "end")
+        .orderBy("doc_id", "start")
+    )
+
+
+def filename_search(corpus: DataFrame, needle: str) -> DataFrame:
+    """Q10 analogue (ref lib/searcher/file_searcher.go:20-33):
+    substring match over the document key column."""
+    return corpus.filter(F.col("url").contains(needle)).select("doc_id", "url").orderBy("doc_id")
