@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is one operator from SURVEY.md §2 (searty
+parity: postings build, dictionary, BM25 top-k, phrase search with
+range coalescing, symbol/filename lookup) or a training-data pipeline
+operator (dedup exact/Jaccard/MinHash/SimHash, ANN brute-force/IVF,
+text analysis, sessionization). ``oracle_sql()`` carries the DuckDB
+twin; MinHash/SimHash candidate generation is hash-function-specific
+so those two run under the weaker rows-only check (their exactness is
+pinned by tests/ instead).
 """
 
 from __future__ import annotations
@@ -12,27 +15,400 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searty_spark import ann, dedup, events, textops
+from searty_spark.build import build_postings, doc_stats, term_dictionary, token_rows
+from searty_spark.query import bm25_topk, phrase_match_ranges, phrase_search
+from searty_spark.tokenize import tokenize
+
+# --- fixed query literals (probed to exist in the synthetic corpus) ---
+Q_BM25_COMMON = "data"
+Q_BM25_MULTI = "spark join"
+Q_PHRASE = "spark table"
+Q_PHRASE_PERIODIC = "table table"  # adjacent repeats -> range coalescing
+K_BM25 = 20
+JACC_T = 0.2
+SYMBOL = "key"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the sf0.001 documents corpus."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    p = build_postings(docs)
+    s = doc_stats(docs)
+    return bm25_topk(p, s, Q_BM25_COMMON, k=10)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_term_stats(spark, sf):
+    p = build_postings(_docs(spark, sf))
+    return p.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def q_postings_check(spark, sf):
+    return (
+        token_rows(_docs(spark, sf))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.min("pos").cast("long").alias("min_pos"),
+            F.max("pos").cast("long").alias("max_pos"),
+            F.sum("pos").cast("long").alias("sum_pos"),
+        )
+    )
+
+
+def q_doc_stats(spark, sf):
+    return doc_stats(_docs(spark, sf))
+
+
+def q_dictionary(spark, sf):
+    return term_dictionary(build_postings(_docs(spark, sf)), method="rownum")
+
+
+def _bm25(spark, sf, q, k):
+    docs = _docs(spark, sf)
+    return bm25_topk(build_postings(docs), doc_stats(docs), q, k=k)
+
+
+def q_bm25_common(spark, sf):
+    return _bm25(spark, sf, Q_BM25_COMMON, K_BM25)
+
+
+def q_bm25_multi(spark, sf):
+    return _bm25(spark, sf, Q_BM25_MULTI, K_BM25)
+
+
+def q_phrase_search(spark, sf):
+    return phrase_search(build_postings(_docs(spark, sf)), Q_PHRASE)
+
+
+def q_phrase_ranges(spark, sf):
+    return phrase_match_ranges(
+        build_postings(_docs(spark, sf)), Q_PHRASE_PERIODIC
+    ).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start_pos"),
+        F.col("end").cast("long").alias("end_pos"),
+    )
+
+
+def q_symbol_lookup(spark, sf):
+    """Symbol-definition search analogue (SURVEY.md Q9): the corpus
+    'defines' its first whitespace token at position 0."""
+    d = _docs(spark, sf)
+    return (
+        d.select("doc_id", F.split("text", " ").getItem(0).alias("symbol"))
+        .filter(F.col("symbol") == SYMBOL)
+        .orderBy("doc_id")
+    )
+
+
+def q_filename_search(spark, sf):
+    """Q10 analogue: substring match on the document key column."""
+    return (
+        _docs(spark, sf)
+        .filter(F.col("source").contains("1"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dup_groups(_docs(spark, sf))
+
+
+def q_jaccard_pairs(spark, sf):
+    return dedup.jaccard_pairs(_docs(spark, sf), threshold=JACC_T)
+
+
+def q_minhash_pairs(spark, sf):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=JACC_T)
+
+
+def q_simhash_pairs(spark, sf):
+    return dedup.simhash_pairs(_docs(spark, sf), max_hamming=8)
+
+
+def q_token_count(spark, sf):
+    return textops.token_count(_docs(spark, sf))
+
+
+def q_quality_score(spark, sf):
+    return textops.quality_score(_docs(spark, sf))
+
+
+def q_doc_fingerprint(spark, sf):
+    return textops.doc_fingerprint(_docs(spark, sf))
+
+
+def q_lang_stats(spark, sf):
+    return textops.lang_stats(_docs(spark, sf))
+
+
+def q_embedding_topk(spark, sf):
+    return ann.cosine_topk(_emb(spark, sf), query_vec_id=0, k=K_BM25)
+
+
+def q_ivf_assign(spark, sf):
+    return ann.ivf_assign(_emb(spark, sf), n_cells=8)
+
+
+def q_ivf_topk(spark, sf):
+    return ann.ivf_topk(_emb(spark, sf), query_vec_id=0, k=10, n_cells=8, n_probe=2)
+
+
+def q_sessionize(spark, sf):
+    return events.sessionize(_events(spark, sf), gap_minutes=30)
+
+
+def q_windowed_counts(spark, sf):
+    return events.windowed_counts(_events(spark, sf)).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "term_stats": q_term_stats,
+        "postings_check": q_postings_check,
+        "doc_stats": q_doc_stats,
+        "dictionary": q_dictionary,
+        "bm25_topk_common": q_bm25_common,
+        "bm25_topk_multi": q_bm25_multi,
+        "phrase_search": q_phrase_search,
+        "phrase_ranges": q_phrase_ranges,
+        "symbol_lookup": q_symbol_lookup,
+        "filename_search": q_filename_search,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_stats": q_lang_stats,
+        "embedding_topk": q_embedding_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_TOK = (
+    "SELECT doc_id, substring(text, i, 3) AS term, i - 1 AS pos "
+    "FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i "
+    "FROM documents) u"
+)
+
+_SHINGLES = (
+    "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sxp AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t), "
+    "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM sxp)"
+)
+
+
+def _bm25_sql(query: str, k: int) -> str:
+    terms = sorted(set(tokenize(query)))
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH tok AS ({_TOK}),
+p AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN ({tlist}) GROUP BY 1, 2),
+dl AS (SELECT doc_id, greatest(length(text) - 2, 0) AS doc_len FROM documents),
+c AS (SELECT count(*) AS n_docs, avg(greatest(length(text) - 2, 0)) AS avgdl FROM documents),
+dfq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+s AS (
+  SELECT p.doc_id,
+         sum( ln((c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * p.tf * 2.2
+              / (p.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / c.avgdl)) ) AS raw
+  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+  GROUP BY 1)
+SELECT doc_id, round(raw, 6) AS score FROM s
+ORDER BY round(raw, 6) DESC, doc_id LIMIT {k}
+"""
+
+
+def _phrase_ranges_sql(q: str) -> str:
+    ln = len(q)
+    lit = q.replace("'", "''")
+    return f"""
+WITH m AS (
+  SELECT doc_id, i - 1 AS rel
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - {ln} + 1, 0))) AS i
+        FROM documents) u
+  WHERE substring(text, i, {ln}) = '{lit}'),
+x AS (
+  SELECT doc_id, rel,
+         max(rel + {ln}) OVER (PARTITION BY doc_id ORDER BY rel
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM m),
+y AS (
+  SELECT doc_id, rel,
+         sum(CASE WHEN prev_end IS NULL OR rel > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY rel) AS island
+  FROM x)
+SELECT doc_id, cast(min(rel) AS bigint) AS start_pos,
+       cast(max(rel) + {ln} AS bigint) AS end_pos
+FROM y GROUP BY doc_id, island
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_stats": f"""
+WITH tok AS ({_TOK}), p AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf FROM p GROUP BY term
+""",
+        "postings_check": f"""
+WITH tok AS ({_TOK})
+SELECT term, doc_id, cast(count(*) AS bigint) AS tf,
+       cast(min(pos) AS bigint) AS min_pos, cast(max(pos) AS bigint) AS max_pos,
+       cast(sum(pos) AS bigint) AS sum_pos
+FROM tok GROUP BY term, doc_id
+""",
+        "doc_stats": "SELECT doc_id, cast(greatest(length(text) - 2, 0) AS bigint) AS doc_len FROM documents",
+        "dictionary": f"""
+WITH tok AS ({_TOK})
+SELECT term, cast(row_number() OVER (ORDER BY term) - 1 AS bigint) AS token_id
+FROM (SELECT DISTINCT term FROM tok) d
+""",
+        "bm25_topk_common": _bm25_sql(Q_BM25_COMMON, K_BM25),
+        "bm25_topk_multi": _bm25_sql(Q_BM25_MULTI, K_BM25),
+        "phrase_search": (
+            f"SELECT doc_id FROM documents WHERE contains(text, '{Q_PHRASE}') ORDER BY doc_id"
+        ),
+        "phrase_ranges": _phrase_ranges_sql(Q_PHRASE_PERIODIC),
+        "symbol_lookup": (
+            f"SELECT doc_id, string_split(text, ' ')[1] AS symbol FROM documents "
+            f"WHERE string_split(text, ' ')[1] = '{SYMBOL}' ORDER BY doc_id"
+        ),
+        "filename_search": (
+            "SELECT doc_id, source FROM documents WHERE contains(source, '1') ORDER BY doc_id"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, cast(count(*) AS bigint) AS n_docs, "
+            "min(doc_id) AS min_doc_id FROM documents GROUP BY 1"
+        ),
+        "jaccard_pairs": f"""
+WITH {_SHINGLES},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(n_common / (sa.n + sb.n - n_common), 6) AS jacc
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {JACC_T}
+""",
+        "token_count": "SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS n_tokens FROM documents",
+        "quality_score": """
+WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, cast(n_chars AS bigint) AS n_chars,
+       cast(len(toks) AS bigint) AS n_tokens,
+       cast(len(list_distinct(toks)) AS bigint) AS n_uniq_tokens,
+       round(len(list_distinct(toks)) / len(toks), 6) AS uniq_ratio,
+       round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) / len(toks), 6) AS stopword_ratio,
+       round((n_chars - len(toks) + 1) / len(toks), 6) AS avg_token_len
+FROM t
+""",
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp "
+            "FROM documents"
+        ),
+        "lang_stats": (
+            "SELECT lang, cast(count(*) AS bigint) AS n_docs, "
+            "round(avg(length(text)), 6) AS avg_chars FROM documents GROUP BY lang"
+        ),
+        "embedding_topk": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cos
+FROM embeddings, q WHERE vec_id != 0
+ORDER BY 2 DESC, vec_id LIMIT {K_BM25}
+""",
+        "ivf_assign": """
+WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+  FROM embeddings e CROSS JOIN c),
+r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM s)
+SELECT vec_id, cast(cell AS bigint) AS cell FROM r WHERE rn = 1
+""",
+        "ivf_topk": """
+WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+  FROM embeddings e CROSS JOIN c),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM s
+  ) WHERE rn = 1),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+    FROM c CROSS JOIN q ORDER BY sim DESC, cell LIMIT 2) p),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  WHERE a.cell IN (SELECT cell FROM probe) AND e.vec_id != 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cos
+FROM cand CROSS JOIN q
+ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        "sessionize": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, cast(sum(new_sess) AS bigint) AS n_sessions,
+       cast(count(*) AS bigint) AS n_events
+FROM g GROUP BY user_id
+""",
+        "windowed_counts": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, cast(count(*) AS bigint) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    }

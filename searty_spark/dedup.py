@@ -1,0 +1,204 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, scale-first:
+
+- exact           — md5(text) hash groupBy (one shuffle, salt-free).
+- n-gram Jaccard  — exact word-shingle Jaccard via shingle self-join;
+                    quadratic in df per shingle, so at 100 TB it runs
+                    AFTER LSH candidate generation, never standalone.
+- MinHash + LSH   — 32 permutations (xxhash64 with per-perm seed),
+                    8 bands x 4 rows; candidates = equi-join on
+                    (band, band_key); verified with exact Jaccard.
+- SimHash         — 64-bit fingerprint via Arrow-batched UDF; banded
+                    (4 x 16-bit) candidate join + popcount Hamming.
+
+All shuffles are on hash keys (shingle, band_key) which are uniform by
+construction — no skew salting needed here, unlike the Zipf term keys
+in the index build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_PERM = 32
+N_BANDS = 8  # 4 rows per band
+SIM_BANDS = 4  # 16 bits each
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_docs, min_doc_id) per distinct text."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("text_hash")
+    )
+
+
+def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word k-grams — pure SQL."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFrame:
+    """(doc_a, doc_b, jacc) exact shingle-Jaccard pairs >= threshold."""
+    sh = word_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = 3) -> DataFrame:
+    """(doc_id, perm, minhash) — min over shingles of xxhash64(shingle, perm)."""
+    sh = word_shingles(docs, k)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
+    return (
+        sh.select("doc_id", "shingle", perms)
+        .select("doc_id", "perm", F.xxhash64("shingle", "perm").alias("h"))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard >= threshold.
+
+    Band key = xxhash64 over the band's sorted (perm, minhash) rows;
+    docs sharing any band key become candidates (the standard
+    shingle->minhash->band->bucket-join pipeline). Final output is
+    deterministic because candidates are verified exactly.
+    """
+    rows_per_band = n_perm // n_bands
+    sig = minhash_signatures(docs, n_perm, k)
+    bands = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "perm", "minhash"))))
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(docs, threshold=0.0, k=k).withColumnRenamed("jacc", "jacc_exact")
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jacc_exact") >= threshold)
+        .select("doc_a", "doc_b", F.col("jacc_exact").alias("jacc"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash64(text: str, k: int = 3) -> int:
+    toks = text.split(" ")
+    shingles = {" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))} or {text}
+    weights = [0] * 64
+    for s in shingles:
+        h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+        for bit in range(64):
+            weights[bit] += 1 if (h >> bit) & 1 else -1
+    fp = 0
+    for bit in range(64):
+        if weights[bit] > 0:
+            fp |= 1 << bit
+    return fp - (1 << 64) if fp >= (1 << 63) else fp  # to signed long
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(_simhash64)
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash_udf("text").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming, found via
+    4x16-bit band join + popcount verification."""
+    fp = simhash_fingerprints(docs).cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for i in range(SIM_BANDS)
+        ]
+    )
+    bands = fp.select("doc_id", "simhash", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
