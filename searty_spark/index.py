@@ -1,0 +1,192 @@
+"""On-disk index: build, checkpoint/resume, load, query.
+
+Directory layout (each stage is an independently committed table —
+the Spark analogue of the reference's one-transaction-per-build,
+ref lib/database/database.go:79-105, re-architected so a failed build
+resumes from the last committed unit):
+
+    <dir>/docstats/           (doc_id, doc_len) parquet
+    <dir>/dictionary/         (term, token_id, df_global) parquet
+    <dir>/segments/shard=N/bucket=M/   segment rows parquet
+    <dir>/stats.json          {n_docs, avgdl, sum_dl, n_shards, n_buckets}
+    <dir>/checkpoint.jsonl    one line per committed unit + metrics
+                              (stage, shard, wall_sec, rows, docs_per_sec)
+
+Resume: completed units are read from checkpoint.jsonl and skipped;
+a unit's data write is idempotent (mode=overwrite of its own subtree)
+so a crash between data-commit and checkpoint-append just redoes one
+unit. On a real deployment the checkpoint file would be an Iceberg
+table; the protocol is identical.
+
+The segment table is hive-partitioned by (shard, bucket) so query-term
+bucket pruning happens at file-listing time — the analogue of the
+reference's token_id PK index seek (ref lib/database/database.go:508-526).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searty_spark.build import build_postings, doc_stats
+from searty_spark.segments import build_segments
+
+DEFAULT_SHARDS = 4
+DEFAULT_BUCKETS = 32
+
+
+def term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
+    """Buckets of the given terms — computed with the SAME JVM xxhash64
+    used at write time (a driver-side reimplementation would risk
+    drift)."""
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    return [
+        r[0]
+        for r in df.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
+def _ckpt_path(out_dir: str) -> Path:
+    return Path(out_dir) / "checkpoint.jsonl"
+
+
+def _done_units(out_dir: str) -> set[str]:
+    p = _ckpt_path(out_dir)
+    if not p.exists():
+        return set()
+    return {json.loads(line)["unit"] for line in p.read_text().splitlines() if line}
+
+
+def _commit(out_dir: str, unit: str, **metrics) -> None:
+    rec = {"unit": unit, "ts": time.time(), **metrics}
+    with _ckpt_path(out_dir).open("a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def write_index(
+    corpus: DataFrame,
+    out_dir: str,
+    n_shards: int = DEFAULT_SHARDS,
+    n_buckets: int = DEFAULT_BUCKETS,
+    resume: bool = True,
+    text_col: str = "text",
+) -> dict:
+    """Build the full index with per-unit checkpoints. Returns metrics."""
+    spark = corpus.sparkSession
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    done = _done_units(out_dir) if resume else set()
+    if not resume and _ckpt_path(out_dir).exists():
+        _ckpt_path(out_dir).unlink()
+    metrics: dict[str, float] = {}
+
+    # --- stage 1: doc stats (+ global scalars) --------------------------
+    if "docstats" not in done:
+        t0 = time.perf_counter()
+        ds = doc_stats(corpus, text_col)
+        ds.write.mode("overwrite").parquet(str(out / "docstats"))
+        ds2 = spark.read.parquet(str(out / "docstats"))
+        row = ds2.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("s"), F.avg("doc_len").alias("a")
+        ).collect()[0]
+        stats = {
+            "n_docs": int(row["n"]),
+            "sum_dl": int(row["s"]),
+            "avgdl": float(row["a"]),
+            "n_shards": n_shards,
+            "n_buckets": n_buckets,
+        }
+        (out / "stats.json").write_text(json.dumps(stats))
+        wall = time.perf_counter() - t0
+        _commit(out_dir, "docstats", wall_sec=wall, rows=stats["n_docs"],
+                docs_per_sec=stats["n_docs"] / wall)
+    stats = json.loads((out / "stats.json").read_text())
+
+    # --- stage 2: dictionary (global term df) ---------------------------
+    if "dictionary" not in done:
+        t0 = time.perf_counter()
+        p = build_postings(corpus, text_col)
+        d = p.groupBy("term").agg(F.count("*").alias("df_global")).select(
+            "term", F.xxhash64("term").alias("token_id"), "df_global"
+        )
+        d.write.mode("overwrite").parquet(str(out / "dictionary"))
+        wall = time.perf_counter() - t0
+        n_terms = spark.read.parquet(str(out / "dictionary")).count()
+        _commit(out_dir, "dictionary", wall_sec=wall, rows=n_terms)
+
+    dstats = spark.read.parquet(str(out / "docstats"))
+    dictionary = spark.read.parquet(str(out / "dictionary"))
+
+    # --- stage 3: per-shard segments (the resumable fan-out) ------------
+    done = _done_units(out_dir) if resume else set()
+    for shard in range(n_shards):
+        unit = f"segments/shard={shard}"
+        if unit in done:
+            continue
+        t0 = time.perf_counter()
+        part = corpus.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard)
+        postings = build_postings(part, text_col)
+        seg = build_segments(
+            postings,
+            dstats,
+            n_shards=n_shards,
+            n_buckets=n_buckets,
+            n_docs=stats["n_docs"],
+            avgdl=stats["avgdl"],
+            df_lookup=dictionary.select("term", "df_global"),
+        )
+        n_rows = seg.count()
+        seg.drop("shard").write.partitionBy("bucket").mode("overwrite").parquet(
+            str(out / "segments" / f"shard={shard}")
+        )
+        wall = time.perf_counter() - t0
+        n_docs_shard = part.count()
+        _commit(
+            out_dir,
+            unit,
+            wall_sec=wall,
+            rows=n_rows,
+            docs=n_docs_shard,
+            docs_per_sec=n_docs_shard / wall if wall else 0.0,
+        )
+        metrics[unit] = wall
+    return {"stats": stats, "units": metrics}
+
+
+def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(str(Path(index_dir) / "segments"))
+
+
+def load_stats(index_dir: str) -> dict:
+    return json.loads((Path(index_dir) / "stats.json").read_text())
+
+
+def query_index(
+    spark: SparkSession, index_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Top-k BM25 via block-max MaxScore with bucket partition pruning."""
+    from searty_spark.tokenize import tokenize
+    from searty_spark.wand import wand_topk
+
+    stats = load_stats(index_dir)
+    seg = load_segments(spark, index_dir)
+    terms = sorted(set(tokenize(query)))
+    if terms:
+        buckets = term_buckets(spark, terms, stats["n_buckets"])
+        seg = seg.filter(F.col("bucket").isin(buckets))
+    return wand_topk(
+        seg,
+        dstats=None,
+        query=query,
+        k=k,
+        n_docs=stats["n_docs"],
+        avgdl=stats["avgdl"],
+    )

@@ -9,8 +9,23 @@ UTC session TZ so DuckDB oracle comparisons are stable.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip searty_spark for shipping to executors (the programmatic
+    twin of `spark-submit --py-files searty_spark.zip`). Without it,
+    Python workers whose cwd is not the repo can't unpickle our UDFs."""
+    pkg_dir = Path(__file__).resolve().parent
+    out = Path(tempfile.gettempdir()) / "searty_spark_pyfiles.zip"
+    with zipfile.ZipFile(out, "w") as z:
+        for f in sorted(pkg_dir.glob("*.py")):
+            z.write(f, f"searty_spark/{f.name}")
+    return str(out)
 
 
 def get_spark(
@@ -41,4 +56,5 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(_package_zip())
     return spark

@@ -1,0 +1,187 @@
+"""Top-k BM25 over compressed segments with MaxScore/block-max pruning.
+
+Exact top-k (rank- and score-identical to the DataFrame path and the
+brute-force oracle), structured like the query pipeline of SURVEY.md
+§3.3 (ref lib/searcher/phrase_searcher.go:211-245, with the WAND-style
+pruning the north rule adds where the reference does exhaustive
+intersection — Q4 hook):
+
+1. driver: tokenize query, prune the segment scan to the query terms'
+   buckets (partition pruning) + terms (predicate pushdown);
+2. per shard (mapInPandas over co-grouped segment rows): MaxScore —
+   - seed the threshold from the highest-max-impact term's postings,
+   - split terms into essential / non-essential by cumulative bound,
+   - TAAT-score essential terms vectorized (np.add.at),
+   - candidates = docs whose essential score + Σ non-essential bounds
+     clears the threshold; decode ONLY the non-essential blocks that
+     can contain candidates (searchsorted on block_last_doc),
+   - exact rescore of candidates -> local top-k;
+3. global top-k = orderBy(score desc, doc_id) + limit over the union
+   of local top-ks (exact: each doc lives in one shard).
+
+The per-block upper bounds are exact double maxima computed at build
+time with global df, so pruning never changes results.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searty_spark import BM25_B, BM25_K1, NGRAM_N, SCORE_NDIGITS
+from searty_spark.segments import decode_score_block
+from searty_spark.tokenize import tokenize
+
+
+def _impacts(tfs, dls, n_docs: int, avgdl: float, df_global: int) -> np.ndarray:
+    idf = math.log((n_docs - df_global + 0.5) / (df_global + 0.5) + 1.0)
+    tf = tfs.astype(np.float64)
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dls.astype(np.float64) / avgdl)
+    return idf * tf * (BM25_K1 + 1.0) / denom
+
+
+def _decode_blocks(row: dict, blocks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    blob = row["blob"]
+    offs = list(row["block_offset"]) + [len(blob)]
+    ds, ts, ls = [], [], []
+    for b in blocks:
+        d, t, l = decode_score_block(blob[offs[b] : offs[b + 1]])
+        ds.append(d)
+        ts.append(t)
+        ls.append(l)
+    if not ds:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z.copy(), z.copy()
+    return np.concatenate(ds), np.concatenate(ts), np.concatenate(ls)
+
+
+def _term_scores(row: dict, n_docs: int, avgdl: float, blocks=None):
+    blocks = blocks if blocks is not None else range(len(row["block_offset"]))
+    docs, tfs, dls = _decode_blocks(row, blocks)
+    return docs.astype(np.int64), _impacts(tfs, dls, n_docs, avgdl, int(row["df_global"]))
+
+
+def shard_topk(rows: list[dict], n_docs: int, avgdl: float, k: int) -> pd.DataFrame:
+    """Exact MaxScore top-k for one shard's query-term segment rows."""
+    if not rows:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    ubs = np.array([max(r["block_max_impact"]) for r in rows])
+    order = np.argsort(-ubs, kind="stable")  # descending upper bound
+    rows = [rows[i] for i in order]
+    ubs = ubs[order]
+
+    # --- seed threshold from the strongest term, fully decoded
+    seed_docs, seed_sc = _term_scores(rows[0], n_docs, avgdl)
+    if len(rows) == 1:
+        docs, scores = seed_docs, seed_sc
+        return _topk_frame(docs, scores, k)
+    # PAD makes every pruning decision safe under the final 1e-6
+    # rounding of the ranking key (a pruned doc's ROUNDED score is
+    # strictly below the kth's — see tests/test_wand.py).
+    PAD = 2e-6
+    theta = _kth(seed_sc, k) - PAD
+
+    # --- split essential / non-essential by cumulative bound (asc)
+    cum = np.cumsum(ubs[::-1])[::-1]  # cum[i] = ubs[i] + ubs[i+1] + ...
+    # non-essential suffix: maximal suffix with sum(ubs) < theta
+    n_terms = len(rows)
+    ness_start = n_terms
+    for i in range(n_terms - 1, 0, -1):
+        if cum[i] < theta:
+            ness_start = i
+        else:
+            break
+    essential, non_essential = rows[:ness_start], rows[ness_start:]
+    ub_ness = float(cum[ness_start]) if ness_start < n_terms else 0.0
+
+    # --- TAAT over essential terms (term 0 already decoded)
+    parts = [(seed_docs, seed_sc)]
+    for r in essential[1:]:
+        parts.append(_term_scores(r, n_docs, avgdl))
+    all_docs = np.concatenate([p[0] for p in parts])
+    all_sc = np.concatenate([p[1] for p in parts])
+    docs, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(docs.size, dtype=np.float64)
+    np.add.at(scores, inv, all_sc)
+
+    theta = max(theta, _kth(scores, k) - PAD)
+    cand = scores + ub_ness >= theta - 1e-12
+    cdocs, cscores = docs[cand], scores[cand]
+
+    # --- exact rescore: only blocks that can contain candidates
+    for r in non_essential:
+        last = np.asarray(r["block_last_doc"], dtype=np.int64)
+        first_needed = np.searchsorted(last, cdocs, side="left")
+        blocks = np.unique(first_needed[first_needed < last.size])
+        if blocks.size == 0:
+            continue
+        tdocs, tsc = _term_scores(r, n_docs, avgdl, blocks.tolist())
+        idx = np.searchsorted(tdocs, cdocs)
+        ok = idx < tdocs.size
+        hit = ok.copy()
+        hit[ok] = tdocs[idx[ok]] == cdocs[ok]
+        add = np.zeros(cdocs.size, dtype=np.float64)
+        add[hit] = tsc[idx[hit]]
+        cscores = cscores + add
+    return _topk_frame(cdocs, cscores, k)
+
+
+def _kth(scores: np.ndarray, k: int) -> float:
+    """kth-largest, or 0.0 when fewer than k entries exist (only then
+    is it NOT a valid lower bound on the true kth-best total, so no
+    pruning leverage — all impacts are positive, 0 is always safe)."""
+    if scores.size < k:
+        return 0.0
+    return float(np.partition(scores, -k)[-k])
+
+
+def _topk_frame(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    r = np.round(scores, SCORE_NDIGITS)
+    order = np.lexsort((docs, -r))[:k]
+    return pd.DataFrame({"doc_id": docs[order].astype(np.int64), "score": r[order]})
+
+
+def wand_topk(
+    segments: DataFrame,
+    dstats: DataFrame,
+    query: str,
+    k: int = 10,
+    n: int = NGRAM_N,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """(doc_id, score) exact BM25 top-k from the segment table."""
+    spark = segments.sparkSession
+    terms = sorted(set(tokenize(query, n)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if n_docs is None or avgdl is None:
+        row = dstats.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+        n_docs, avgdl = int(row["n"]), float(row["a"])
+
+    pruned = segments.filter(F.col("term").isin(terms))
+    if n_buckets is not None and "bucket" in segments.columns:
+        # partition pruning when the segment table is stored
+        # partitioned by bucket (see index.py for the hash helper)
+        from searty_spark.index import term_buckets
+
+        pruned = pruned.filter(
+            F.col("bucket").isin(term_buckets(spark, terms, n_buckets))
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by_shard: dict[int, list[dict]] = {}
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                by_shard.setdefault(int(rec["shard"]), []).append(rec)
+        for shard, rows in by_shard.items():
+            yield shard_topk(rows, n_docs, avgdl, k)
+
+    local = pruned.repartition("shard").mapInPandas(run, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,95 @@
+"""On-disk index lifecycle: build -> query, checkpoint/resume
+idempotence, and hierarchical merge == single-shot build
+(FIXTURES.md §6; semantics of ref lib/indexer/merge.go:455-502)."""
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from searty_spark import oracle as O
+from searty_spark.corpus import synth_corpus
+from searty_spark.index import load_segments, query_index, write_index
+from searty_spark.merge import merge_indexes
+from searty_spark.segments import decode_segment_positions
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synth_corpus(spark, N_DOCS, seed=42).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_idx(corpus):
+    docs = {r["doc_id"]: r["text"] for r in corpus.select("doc_id", "text").collect()}
+    return O.build_index(docs)
+
+
+def _index_content(spark, d):
+    """Logical content: {(shard, term): (df, df_global, blob, pos_blob)}."""
+    rows = load_segments(spark, d).collect()
+    return {
+        (r["shard"], r["term"]): (r["df"], r["df_global"], bytes(r["blob"]), bytes(r["pos_blob"]))
+        for r in rows
+    }
+
+
+def test_build_query_resume_and_merge(spark, corpus, oracle_idx, tmp_path_factory):
+    base = tmp_path_factory.mktemp("idx")
+    full_dir = str(base / "full")
+
+    # --- build + query ---------------------------------------------------
+    write_index(corpus, full_dir, n_shards=3, n_buckets=8)
+    for q in ["the", "shared phrase", "spark"]:
+        got = [(r["doc_id"], r["score"]) for r in query_index(spark, full_dir, q, k=10).collect()]
+        assert got == O.bm25_topk(oracle_idx, q, k=10), q
+
+    ckpt = Path(full_dir) / "checkpoint.jsonl"
+    units = [json.loads(x)["unit"] for x in ckpt.read_text().splitlines()]
+    assert units == ["docstats", "dictionary"] + [f"segments/shard={s}" for s in range(3)]
+
+    # --- resume: drop one shard, rebuild only it, content identical ------
+    before = _index_content(spark, full_dir)
+    shutil.rmtree(Path(full_dir) / "segments" / "shard=1")
+    kept = [x for x in ckpt.read_text().splitlines() if json.loads(x)["unit"] != "segments/shard=1"]
+    ckpt.write_text("\n".join(kept) + "\n")
+    write_index(corpus, full_dir, n_shards=3, n_buckets=8, resume=True)
+    units2 = [json.loads(x)["unit"] for x in ckpt.read_text().splitlines()]
+    assert units2.count("segments/shard=1") == 1 and len(units2) == len(units)
+    assert _index_content(spark, full_dir) == before  # byte-identical blobs
+
+    # --- merge: two disjoint halves == single-shot ------------------------
+    a = corpus.filter(F.col("doc_id") < N_DOCS // 2)
+    b = corpus.filter(F.col("doc_id") >= N_DOCS // 2)
+    dir_a, dir_b, dir_m = str(base / "a"), str(base / "b"), str(base / "m")
+    write_index(a, dir_a, n_shards=3, n_buckets=8)
+    write_index(b, dir_b, n_shards=3, n_buckets=8)
+    merge_indexes(spark, [dir_a, dir_b], dir_m)
+
+    assert json.loads((Path(dir_m) / "stats.json").read_text()) == json.loads(
+        (Path(full_dir) / "stats.json").read_text()
+    )
+    merged, full = _index_content(spark, dir_m), before
+    assert merged.keys() == full.keys()
+    assert merged == full  # byte-identical segments after merge
+
+    for q in ["the", "shared phrase"]:
+        got = [(r["doc_id"], r["score"]) for r in query_index(spark, dir_m, q, k=10).collect()]
+        assert got == O.bm25_topk(oracle_idx, q, k=10), q
+
+
+def test_merge_rejects_overlapping_docids(spark, corpus, tmp_path_factory):
+    base = tmp_path_factory.mktemp("idx_overlap")
+    d1, d2 = str(base / "x"), str(base / "y")
+    half = corpus.filter(F.col("doc_id") < 40)
+    write_index(half, d1, n_shards=2, n_buckets=4)
+    write_index(half, d2, n_shards=2, n_buckets=4)
+    with pytest.raises(Exception, match="overlapping"):
+        merge_indexes(spark, [d1, d2], str(base / "m"))
+        load_segments(spark, str(base / "m")).collect()

@@ -1,0 +1,39 @@
+"""Block-max MaxScore top-k over segments must be rank- and
+score-identical to the brute-force oracle and the DataFrame path."""
+
+import pytest
+
+from searty_spark import oracle as O
+from searty_spark.build import build_postings, doc_stats
+from searty_spark.segments import build_segments
+from searty_spark.wand import wand_topk
+
+QUERIES = ["the", "abc", "marker", "shared phrase", "spark", "zzqzzqzz", "ab"]
+
+
+@pytest.fixture(scope="module")
+def seg(small_corpus):
+    p = build_postings(small_corpus)
+    s = doc_stats(small_corpus)
+    return (
+        build_segments(p, s, n_shards=3, n_buckets=8, block_size=16).cache(),
+        s.cache(),
+    )
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("k", [1, 10, 1000])
+def test_wand_matches_oracle(seg, oracle_index, query, k):
+    seg_df, dstats = seg
+    got = [(r["doc_id"], r["score"]) for r in wand_topk(seg_df, dstats, query, k=k).collect()]
+    want = O.bm25_topk(oracle_index, query, k=k)
+    assert got == want, f"query={query!r} k={k}"
+
+
+def test_wand_single_block_size(small_corpus, oracle_index):
+    # tiny blocks stress the block-skipping path
+    p = build_postings(small_corpus)
+    s = doc_stats(small_corpus)
+    seg_df = build_segments(p, s, n_shards=2, n_buckets=4, block_size=1)
+    got = [(r["doc_id"], r["score"]) for r in wand_topk(seg_df, s, "shared phrase", k=5).collect()]
+    assert got == O.bm25_topk(oracle_index, "shared phrase", k=5)
