@@ -1,0 +1,108 @@
+"""spark-submit / python -m entrypoints (the rebuild of the three
+reference binaries, SURVEY.md §3):
+
+    searty-index  (cmd/searty-index/index.go:18-28)
+      python -m searty_spark.cli build --corpus <parquet|synth:N> --out DIR
+                                       [--shards 4] [--buckets 32]
+    searty-merge  (cmd/searty-merge/merge.go:19-27)
+      python -m searty_spark.cli merge --inputs DIR1 DIR2 ... --out DIR
+    searty        (cmd/searty/searty.go:28-75)
+      python -m searty_spark.cli query --index DIR [-k 10] [--phrase] "Q" ...
+
+Cluster form: spark-submit --py-files /tmp/searty_spark_pyfiles.zip
+(session.py builds that zip and ships it automatically in local runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _corpus(spark, spec: str):
+    from searty_spark.corpus import synth_corpus
+
+    if spec.startswith("synth:"):
+        return synth_corpus(spark, int(spec.split(":", 1)[1]))
+    df = spark.read.parquet(spec)
+    if "doc_id" not in df.columns:
+        raise SystemExit("corpus parquet must have a doc_id column")
+    return df
+
+
+def cmd_build(args) -> None:
+    from searty_spark.index import write_index
+    from searty_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-index")
+    t0 = time.perf_counter()
+    m = write_index(
+        _corpus(spark, args.corpus),
+        args.out,
+        n_shards=args.shards,
+        n_buckets=args.buckets,
+        resume=not args.no_resume,
+    )
+    print(json.dumps({"wall_sec": time.perf_counter() - t0, **m["stats"]}))
+
+
+def cmd_merge(args) -> None:
+    from searty_spark.merge import merge_indexes
+    from searty_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-merge")
+    t0 = time.perf_counter()
+    stats = merge_indexes(spark, args.inputs, args.out)
+    print(json.dumps({"wall_sec": time.perf_counter() - t0, **stats}))
+
+
+def cmd_query(args) -> None:
+    from searty_spark.index import load_segments, query_index
+    from searty_spark.phrase_seg import phrase_ranges_segments
+    from searty_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-query")
+    for q in args.queries:
+        if args.phrase:
+            rows = phrase_ranges_segments(load_segments(spark, args.index), q).collect()
+            for r in rows:
+                print(f"{r['doc_id']}:{r['start']}:{r['end']}")
+        else:
+            rows = query_index(spark, args.index, q, k=args.k).collect()
+            for rank, r in enumerate(rows, 1):
+                print(f"{rank}\t{r['doc_id']}\t{r['score']}")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="searty_spark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True, help="parquet path or synth:N")
+    b.add_argument("--out", required=True)
+    b.add_argument("--shards", type=int, default=4)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--inputs", nargs="+", required=True)
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--phrase", action="store_true")
+    q.add_argument("queries", nargs="+")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

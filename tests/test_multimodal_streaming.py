@@ -1,0 +1,67 @@
+"""Multimodal plumbing (binary columns, Arrow-batched extraction,
+frame-sample plan) and the streaming twin of windowed counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searty_spark.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+from searty_spark.streaming import (
+    read_event_stream,
+    run_stream_to_memory,
+    windowed_counts_stream,
+)
+
+
+def test_extract_features_deterministic_and_payload_free(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media)
+    assert "payload" not in feats.columns
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 and r["ok"] for r in rows.values())
+    assert all(0.0 <= x <= 1.0 for r in rows.values() for x in r["feature"])
+    # deterministic across runs/partitionings
+    rows2 = {r["media_id"]: r for r in extract_features(synth_media(spark, 30)).collect()}
+    assert all(rows[m]["sha1"] == rows2[m]["sha1"] for m in rows)
+    assert all(rows[m]["feature"] == rows2[m]["feature"] for m in rows)
+
+
+def test_extract_features_real_decode_is_stubbed(spark):
+    media = synth_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, deterministic_fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, 30)
+    plan = frame_sample_plan(media, every_ms=500)
+    rows = plan.collect()
+    assert all(r["frame_ts_ms"] in (0, 500) for r in rows)
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert len(rows) == 2 * n_videos  # duration 1000ms -> ts 0 and 500
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    import shutil
+
+    from searty_spark.events import windowed_counts
+
+    # the file stream source wants a directory
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", stream_dir / "part-0.parquet")
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_counts(spark.read.parquet(str(stream_dir))).collect()
+    }
+    stream = windowed_counts_stream(read_event_stream(spark, str(stream_dir)))
+    out = run_stream_to_memory(stream, "wc_test")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert got == batch
