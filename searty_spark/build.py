@@ -34,16 +34,31 @@ def token_rows(corpus: DataFrame, text_col: str = "text", n: int = NGRAM_N) -> D
     )
 
 
-def build_postings(corpus: DataFrame, text_col: str = "text", n: int = NGRAM_N) -> DataFrame:
-    """(term, doc_id, tf, positions) — positions ascending (A2)."""
-    return (
-        token_rows(corpus, text_col, n)
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count("*").cast("int").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
+def build_postings(
+    corpus: DataFrame, text_col: str = "text", n: int = NGRAM_N, with_doc_len: bool = False
+) -> DataFrame:
+    """(term, doc_id, tf, positions[, doc_len]) — positions ascending (A2).
+
+    ``with_doc_len`` threads doc_len through the aggregation key
+    (functionally dependent on doc_id, so cardinality is unchanged) —
+    this saves the segment builder a posting-sized shuffle join
+    against the doc-stats table.
+    """
+    rows = corpus.select(
+        "doc_id", F.posexplode(trigrams_col(text_col, n)).alias("pos", "term")
+    ) if not with_doc_len else corpus.select(
+        "doc_id",
+        F.greatest(F.char_length(F.col(text_col)) - F.lit(n - 1), F.lit(0))
+        .cast("long")
+        .alias("doc_len"),
+        F.posexplode(trigrams_col(text_col, n)).alias("pos", "term"),
     )
+    keys = ["term", "doc_id"] if not with_doc_len else ["term", "doc_id", "doc_len"]
+    out = rows.groupBy(*keys).agg(
+        F.count("*").cast("int").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    return out
 
 
 def doc_stats(corpus: DataFrame, text_col: str = "text", n: int = NGRAM_N) -> DataFrame:

@@ -113,9 +113,15 @@ def write_index(
     # --- stage 2: dictionary (global term df) ---------------------------
     if "dictionary" not in done:
         t0 = time.perf_counter()
-        p = build_postings(corpus, text_col)
-        d = p.groupBy("term").agg(F.count("*").alias("df_global")).select(
-            "term", F.xxhash64("term").alias("token_id"), "df_global"
+        from searty_spark.build import token_rows
+
+        d = (
+            token_rows(corpus, text_col)
+            .select("term", "doc_id")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").alias("df_global"))
+            .select("term", F.xxhash64("term").alias("token_id"), "df_global")
         )
         d.write.mode("overwrite").parquet(str(out / "dictionary"))
         wall = time.perf_counter() - t0
@@ -133,7 +139,7 @@ def write_index(
             continue
         t0 = time.perf_counter()
         part = corpus.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard)
-        postings = build_postings(part, text_col)
+        postings = build_postings(part, text_col, with_doc_len=True)
         seg = build_segments(
             postings,
             dstats,
@@ -189,4 +195,5 @@ def query_index(
         k=k,
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
+        n_shards=stats["n_shards"],
     )

@@ -78,7 +78,7 @@ def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.Data
 
 
 def phrase_ranges_segments(
-    segments: DataFrame, query: str, n: int = NGRAM_N
+    segments: DataFrame, query: str, n: int = NGRAM_N, n_shards: int | None = None
 ) -> DataFrame:
     """(doc_id, start, end) coalesced phrase match ranges — identical
     output to query.phrase_match_ranges, from the compressed index."""
@@ -97,7 +97,10 @@ def phrase_ranges_segments(
         for shard, rows in by_shard.items():
             yield _shard_phrase(rows, toks, width)
 
-    local = pruned.repartition("shard").mapInPandas(run, "doc_id long, start int, end int")
+    rep = (
+        pruned.repartition(n_shards, "shard") if n_shards else pruned.repartition("shard")
+    )
+    local = rep.mapInPandas(run, "doc_id long, start int, end int")
     return local.orderBy("doc_id", "start")
 
 

@@ -263,9 +263,10 @@ def build_segments(
         if df_lookup is not None
         else postings.groupBy("term").agg(F.count("*").alias("df_global"))
     )
+    if "doc_len" not in postings.columns:
+        postings = postings.join(dstats, "doc_id")
     with_keys = (
-        postings.join(dstats, "doc_id")
-        .join(dfg, "term")
+        postings.join(dfg, "term")
         .select(
             F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),

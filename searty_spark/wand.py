@@ -155,8 +155,13 @@ def wand_topk(
     n_docs: int | None = None,
     avgdl: float | None = None,
     n_buckets: int | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
-    """(doc_id, score) exact BM25 top-k from the segment table."""
+    """(doc_id, score) exact BM25 top-k from the segment table.
+
+    ``n_shards`` caps the query-side parallelism at the shard count —
+    without it the repartition uses spark.sql.shuffle.partitions and
+    schedules mostly-empty tasks (pure latency)."""
     spark = segments.sparkSession
     terms = sorted(set(tokenize(query, n)))
     if not terms:
@@ -183,5 +188,10 @@ def wand_topk(
         for shard, rows in by_shard.items():
             yield shard_topk(rows, n_docs, avgdl, k)
 
-    local = pruned.repartition("shard").mapInPandas(run, "doc_id long, score double")
+    rep = (
+        pruned.repartition(n_shards, "shard")
+        if n_shards
+        else pruned.repartition("shard")
+    )
+    local = rep.mapInPandas(run, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
