@@ -101,6 +101,33 @@ def q_phrase_search(spark, sf):
     return phrase_search(build_postings(_docs(spark, sf)), Q_PHRASE)
 
 
+def _segments(spark, sf):
+    from searty_spark.segments import build_segments
+
+    docs = _docs(spark, sf)
+    p = build_postings(docs, with_doc_len=True)
+    return build_segments(p, doc_stats(docs), n_shards=4, n_buckets=16)
+
+
+def q_bm25_wand(spark, sf):
+    """Same result as bm25_topk_common, computed from the compressed
+    block-max segments via MaxScore — gates the whole segment path."""
+    from searty_spark.wand import wand_topk
+
+    return wand_topk(_segments(spark, sf), doc_stats(_docs(spark, sf)), Q_BM25_COMMON, k=K_BM25)
+
+
+def q_phrase_ranges_seg(spark, sf):
+    """Segment-path phrase ranges — same oracle as phrase_ranges."""
+    from searty_spark.phrase_seg import phrase_ranges_segments
+
+    return phrase_ranges_segments(_segments(spark, sf), Q_PHRASE_PERIODIC).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start_pos"),
+        F.col("end").cast("long").alias("end_pos"),
+    )
+
+
 def q_phrase_ranges(spark, sf):
     return phrase_match_ranges(
         build_postings(_docs(spark, sf)), Q_PHRASE_PERIODIC
@@ -199,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_multi": q_bm25_multi,
         "phrase_search": q_phrase_search,
         "phrase_ranges": q_phrase_ranges,
+        "bm25_topk_wand": q_bm25_wand,
+        "phrase_ranges_seg": q_phrase_ranges_seg,
         "symbol_lookup": q_symbol_lookup,
         "filename_search": q_filename_search,
         "dedup_exact": q_dedup_exact,
@@ -300,6 +329,8 @@ FROM (SELECT DISTINCT term FROM tok) d
 """,
         "bm25_topk_common": _bm25_sql(Q_BM25_COMMON, K_BM25),
         "bm25_topk_multi": _bm25_sql(Q_BM25_MULTI, K_BM25),
+        "bm25_topk_wand": _bm25_sql(Q_BM25_COMMON, K_BM25),
+        "phrase_ranges_seg": _phrase_ranges_sql(Q_PHRASE_PERIODIC),
         "phrase_search": (
             f"SELECT doc_id FROM documents WHERE contains(text, '{Q_PHRASE}') ORDER BY doc_id"
         ),

@@ -5,42 +5,56 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
 
 Headline suite:
-- index_build     — corpus -> postings + dictionary + doc stats,
-                    materialized (the searty-index analogue, §3.1)
-- segment_build   — postings -> delta+varbyte block-max segments
-- bm25_query_p50/p95 — repeated top-k BM25 over warmed postings
-- phrase_query    — positional phrase + range coalescing
-- wand_query      — segment-based block-max WAND top-k (if available)
-- minhash_dedup   — MinHash LSH near-dup pairs
-- ann_topk        — brute-force cosine top-k over embeddings
+- index_build      — full persisted index build (docstats + dictionary
+                     + compressed block-max segments), the searty-index
+                     analogue (SURVEY.md §3.1); extra: docs/sec
+- bm25_query_p50/p95 — block-max MaxScore top-k over warmed segments
+                     (SURVEY.md §3.3), 5 queries x 5 reps
+- bm25_df_p50      — same queries on the uncompressed DataFrame path
+                     (the correctness twin), for comparison
+- phrase_query     — positional phrase + range coalescing over segments
+- minhash_dedup    — shingle -> MinHash -> LSH bands -> verified pairs
+- ann_topk         — brute-force cosine top-k over embeddings
+
+Scaling evidence (local[8] vs local[32]) is produced separately by
+scripts/bench_scaling.py -> BENCH/scaling.json (fresh JVM per level).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from searty_spark import ann, dedup  # noqa: E402
-from searty_spark.build import build_postings, doc_stats, term_dictionary  # noqa: E402
+from searty_spark.build import build_postings, doc_stats  # noqa: E402
+from searty_spark.index import load_segments, load_stats, write_index  # noqa: E402
+from searty_spark.phrase_seg import phrase_ranges_segments  # noqa: E402
 from searty_spark.query import bm25_topk, phrase_match_ranges  # noqa: E402
 from searty_spark.session import get_spark  # noqa: E402
+from searty_spark.wand import wand_topk  # noqa: E402
 
 BM25_QUERIES = ["data", "spark join", "vector group", "window merge", "customer"]
 PHRASE_QUERIES = ["spark table", "table table"]
 N_REPEAT = 5
+N_SHARDS = 8
+N_BUCKETS = 32
 
 
 def timed(fn):
     t0 = time.perf_counter()
     out = fn()
     return time.perf_counter() - t0, out
+
+
+def pctl(xs, p):
+    xs = sorted(xs)
+    return xs[min(int(len(xs) * p), len(xs) - 1)]
 
 
 def main():
@@ -56,72 +70,62 @@ def main():
     results: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # --- index build (postings + dictionary + stats), materialized ---
-    def build():
-        p = build_postings(docs)
-        d = term_dictionary(p, method="xxhash64")
-        s = doc_stats(docs)
-        return p.count() + d.count() + s.count()
-
-    t, n = timed(build)
+    # --- full persisted index build -------------------------------------
+    idx_dir = "/tmp/searty_bench_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t, _ = timed(
+        lambda: write_index(docs, idx_dir, n_shards=N_SHARDS, n_buckets=N_BUCKETS, resume=False)
+    )
     results["index_build"] = round(t, 4)
     extra["index_build_docs_per_sec"] = round(n_docs / t, 2)
+    extra["index_bytes"] = sum(
+        f.stat().st_size for f in Path(idx_dir).rglob("*") if f.is_file()
+    )
 
-    # --- segment build (if the segments module has landed) ---
-    try:
-        from searty_spark.segments import build_segments
-
-        def seg():
-            return build_segments(build_postings(docs), n_buckets=32).count()
-
-        t, n_seg = timed(seg)
-        results["segment_build"] = round(t, 4)
-        extra["n_segments"] = n_seg
-    except ImportError:
-        pass
-
-    # --- warmed postings for query benches ---
-    postings = build_postings(docs).cache()
-    stats = doc_stats(docs).cache()
-    postings.count()
-    stats.count()
-
-    lats = []
+    # --- warmed segment queries (MaxScore/WAND) -------------------------
+    stats = load_stats(idx_dir)
+    seg = load_segments(spark, idx_dir).repartition(N_SHARDS, "shard").cache()
+    seg.count()
+    wt = []
     for i in range(N_REPEAT):
         for q in BM25_QUERIES:
-            t, _ = timed(lambda: bm25_topk(postings, stats, q, k=10).collect())
-            if i > 0:  # first pass warms
-                lats.append(t)
-    lats.sort()
-    results["bm25_query_p50"] = round(lats[len(lats) // 2], 4)
-    results["bm25_query_p95"] = round(lats[int(len(lats) * 0.95)], 4)
-    extra["bm25_qps"] = round(len(lats) / sum(lats), 2)
+            t, _ = timed(
+                lambda: wand_topk(
+                    seg, None, q, k=10,
+                    n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
+                ).collect()
+            )
+            if i > 0:
+                wt.append(t)
+    results["bm25_query_p50"] = round(pctl(wt, 0.5), 4)
+    results["bm25_query_p95"] = round(pctl(wt, 0.95), 4)
+    extra["bm25_qps"] = round(len(wt) / sum(wt), 2)
 
     t, _ = timed(
-        lambda: [phrase_match_ranges(postings, q).collect() for q in PHRASE_QUERIES]
+        lambda: [
+            phrase_ranges_segments(seg, q, n_shards=N_SHARDS).collect()
+            for q in PHRASE_QUERIES
+        ]
     )
     results["phrase_query"] = round(t, 4)
 
-    # --- WAND over segments (if available) ---
-    try:
-        from searty_spark.segments import build_segments
-        from searty_spark.wand import wand_topk
+    # --- DataFrame-path twin (uncompressed postings) --------------------
+    postings = build_postings(docs).cache()
+    dstats = doc_stats(docs).cache()
+    postings.count()
+    dstats.count()
+    dt = []
+    for i in range(2):
+        for q in BM25_QUERIES:
+            t, _ = timed(lambda: bm25_topk(postings, dstats, q, k=10).collect())
+            if i > 0:
+                dt.append(t)
+    results["bm25_df_p50"] = round(pctl(dt, 0.5), 4)
+    t, _ = timed(lambda: [phrase_match_ranges(postings, q).collect() for q in PHRASE_QUERIES])
+    results["phrase_df"] = round(t, 4)
+    postings.unpersist()
 
-        seg_df = build_segments(postings, n_buckets=32).cache()
-        seg_df.count()
-        wt = []
-        for i in range(N_REPEAT):
-            for q in BM25_QUERIES:
-                t, _ = timed(lambda: wand_topk(seg_df, stats, q, k=10).collect())
-                if i > 0:
-                    wt.append(t)
-        wt.sort()
-        results["wand_query_p50"] = round(wt[len(wt) // 2], 4)
-        results["wand_query_p95"] = round(wt[int(len(wt) * 0.95)], 4)
-        seg_df.unpersist()
-    except ImportError:
-        pass
-
+    # --- training-pipeline ops ------------------------------------------
     t, n_pairs = timed(lambda: dedup.minhash_lsh_pairs(docs, threshold=0.2).count())
     results["minhash_dedup"] = round(t, 4)
     extra["minhash_pairs"] = n_pairs

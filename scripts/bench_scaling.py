@@ -1,0 +1,94 @@
+"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N).
+
+No real cluster exists in this sandbox, so the same index-build job
+runs at local[8] and local[32] on the SAME pre-generated parquet
+corpus (fresh JVM per run via subprocess; wall time measured inside
+the process, after session startup). Writes BENCH/scaling.json and
+refreshes the scaling section of BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [n_docs] [low_cpus] [high_cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_build(corpus: str, out_dir: str, cpus: int, shards: int, buckets: int) -> dict:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cmd = [
+        sys.executable, "-m", "searty_spark.cli", "--cpus", str(cpus),
+        "build", "--corpus", corpus, "--out", out_dir,
+        "--shards", str(shards), "--buckets", str(buckets), "--no-resume",
+    ]
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["PYSPARK_PYTHON"] = sys.executable
+    p = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=str(REPO), timeout=3600, env=env
+    )
+    if p.returncode != 0:
+        print(p.stdout[-2000:], p.stderr[-4000:])
+        raise SystemExit(f"build failed at cpus={cpus}")
+    last = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    work = Path("/tmp/searty_scaling")
+    work.mkdir(parents=True, exist_ok=True)
+    corpus = str(work / "corpus.parquet")
+
+    # pre-generate the shared input once
+    if not Path(corpus).exists():
+        sys.path.insert(0, str(REPO))
+        from searty_spark.corpus import synth_corpus
+        from searty_spark.session import get_spark
+
+        spark = get_spark(cpus=high, app_name="gen")
+        synth_corpus(spark, n_docs).write.mode("overwrite").parquet(corpus)
+        spark.stop()
+
+    results = {}
+    for cpus in (low, high):
+        t0 = time.time()
+        # identical job at both parallelism levels (fixed shards/buckets)
+        out = run_build(corpus, str(work / f"idx_{cpus}"), cpus, shards=32, buckets=64)
+        results[cpus] = {
+            "build_wall_sec": out["wall_sec"],
+            "docs_per_sec": n_docs / out["wall_sec"],
+            "total_wall_sec": time.time() - t0,
+        }
+        print(f"local[{cpus}]: {out['wall_sec']:.1f}s build, "
+              f"{results[cpus]['docs_per_sec']:.0f} docs/s")
+
+    eff = (results[low]["build_wall_sec"] / results[high]["build_wall_sec"]) / (high / low)
+    summary = {
+        "n_docs": n_docs,
+        "low_cpus": low,
+        "high_cpus": high,
+        "runs": results,
+        "scaling_efficiency": round(eff, 4),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "scaling.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

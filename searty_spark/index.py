@@ -78,6 +78,7 @@ def write_index(
     n_buckets: int = DEFAULT_BUCKETS,
     resume: bool = True,
     text_col: str = "text",
+    shard_batch: int | None = None,
 ) -> dict:
     """Build the full index with per-unit checkpoints. Returns metrics."""
     spark = corpus.sparkSession
@@ -110,16 +111,27 @@ def write_index(
                 docs_per_sec=stats["n_docs"] / wall)
     stats = json.loads((out / "stats.json").read_text())
 
-    # --- stage 2: dictionary (global term df) ---------------------------
+    # --- stage 2: postings (tokenize ONCE, reused by stages 3+4) --------
+    # At 10^12 docs the tokenize+aggregate pass dominates; persisting
+    # it makes the dictionary a cheap re-aggregation and lets segment
+    # encoding read pre-shuffled columnar rows instead of re-tokenizing.
+    if "postings" not in done:
+        t0 = time.perf_counter()
+        p = build_postings(corpus, text_col, with_doc_len=True).withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        )
+        p.write.partitionBy("shard").mode("overwrite").parquet(str(out / "postings"))
+        wall = time.perf_counter() - t0
+        _commit(out_dir, "postings", wall_sec=wall,
+                docs_per_sec=stats["n_docs"] / wall if wall else 0.0)
+
+    postings_all = spark.read.parquet(str(out / "postings"))
+
+    # --- stage 3: dictionary (global term df) ---------------------------
     if "dictionary" not in done:
         t0 = time.perf_counter()
-        from searty_spark.build import token_rows
-
         d = (
-            token_rows(corpus, text_col)
-            .select("term", "doc_id")
-            .distinct()
-            .groupBy("term")
+            postings_all.groupBy("term")
             .agg(F.count("*").alias("df_global"))
             .select("term", F.xxhash64("term").alias("token_id"), "df_global")
         )
@@ -131,15 +143,21 @@ def write_index(
     dstats = spark.read.parquet(str(out / "docstats"))
     dictionary = spark.read.parquet(str(out / "dictionary"))
 
-    # --- stage 3: per-shard segments (the resumable fan-out) ------------
+    # --- stage 3: segments, in resumable shard batches -------------------
+    # Default: ONE job covering every shard (dynamic partition
+    # overwrite makes the unit write idempotent). shard_batch < n_shards
+    # trades throughput for finer resume granularity — at 10^12 docs a
+    # batch is the unit a preempted cluster re-runs.
+    batch = shard_batch or n_shards
     done = _done_units(out_dir) if resume else set()
-    for shard in range(n_shards):
-        unit = f"segments/shard={shard}"
+    for lo in range(0, n_shards, batch):
+        hi = min(lo + batch, n_shards)
+        unit = f"segments/shards={lo}-{hi - 1}"
         if unit in done:
             continue
         t0 = time.perf_counter()
-        part = corpus.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard)
-        postings = build_postings(part, text_col, with_doc_len=True)
+        # partition pruning on the postings table's shard directories
+        postings = postings_all.filter(F.col("shard").between(lo, hi - 1)).drop("shard")
         seg = build_segments(
             postings,
             dstats,
@@ -149,19 +167,18 @@ def write_index(
             avgdl=stats["avgdl"],
             df_lookup=dictionary.select("term", "df_global"),
         )
-        n_rows = seg.count()
-        seg.drop("shard").write.partitionBy("bucket").mode("overwrite").parquet(
-            str(out / "segments" / f"shard={shard}")
-        )
+        seg.write.partitionBy("shard", "bucket").mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(str(out / "segments"))
         wall = time.perf_counter() - t0
-        n_docs_shard = part.count()
+        # dense doc_ids spread uniformly over shards by pmod
+        n_docs_part = stats["n_docs"] * (hi - lo) // n_shards
         _commit(
             out_dir,
             unit,
             wall_sec=wall,
-            rows=n_rows,
-            docs=n_docs_shard,
-            docs_per_sec=n_docs_shard / wall if wall else 0.0,
+            docs=n_docs_part,
+            docs_per_sec=n_docs_part / wall if wall else 0.0,
         )
         metrics[unit] = wall
     return {"stats": stats, "units": metrics}

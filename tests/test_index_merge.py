@@ -44,24 +44,29 @@ def test_build_query_resume_and_merge(spark, corpus, oracle_idx, tmp_path_factor
     base = tmp_path_factory.mktemp("idx")
     full_dir = str(base / "full")
 
-    # --- build + query ---------------------------------------------------
-    write_index(corpus, full_dir, n_shards=3, n_buckets=8)
+    # --- build (per-shard resume units) + query ---------------------------
+    write_index(corpus, full_dir, n_shards=3, n_buckets=8, shard_batch=1)
     for q in ["the", "shared phrase", "spark"]:
         got = [(r["doc_id"], r["score"]) for r in query_index(spark, full_dir, q, k=10).collect()]
         assert got == O.bm25_topk(oracle_idx, q, k=10), q
 
     ckpt = Path(full_dir) / "checkpoint.jsonl"
     units = [json.loads(x)["unit"] for x in ckpt.read_text().splitlines()]
-    assert units == ["docstats", "dictionary"] + [f"segments/shard={s}" for s in range(3)]
+    assert units == ["docstats", "postings", "dictionary"] + [
+        f"segments/shards={s}-{s}" for s in range(3)
+    ]
 
     # --- resume: drop one shard, rebuild only it, content identical ------
     before = _index_content(spark, full_dir)
     shutil.rmtree(Path(full_dir) / "segments" / "shard=1")
-    kept = [x for x in ckpt.read_text().splitlines() if json.loads(x)["unit"] != "segments/shard=1"]
+    kept = [
+        x for x in ckpt.read_text().splitlines()
+        if json.loads(x)["unit"] != "segments/shards=1-1"
+    ]
     ckpt.write_text("\n".join(kept) + "\n")
-    write_index(corpus, full_dir, n_shards=3, n_buckets=8, resume=True)
+    write_index(corpus, full_dir, n_shards=3, n_buckets=8, resume=True, shard_batch=1)
     units2 = [json.loads(x)["unit"] for x in ckpt.read_text().splitlines()]
-    assert units2.count("segments/shard=1") == 1 and len(units2) == len(units)
+    assert units2.count("segments/shards=1-1") == 1 and len(units2) == len(units)
     assert _index_content(spark, full_dir) == before  # byte-identical blobs
 
     # --- merge: two disjoint halves == single-shot ------------------------

@@ -1,0 +1,66 @@
+"""Physical-plan assertions — the 100-TB guarantees, checked on the
+actual plans (.explain) rather than trusted:
+
+- query terms reach the parquet scan as pushed filters (the analogue
+  of the reference's SQL index seek, ref database.go:508-526);
+- bucket predicates prune partitions at file-listing time;
+- per-term df / query-term joins broadcast, never shuffle the big side;
+- top-k is TakeOrderedAndProject, never a global sort;
+- column pruning keeps text/html out of scans that don't need them.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searty_spark.build import build_postings, doc_stats
+from searty_spark.query import bm25_topk
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def disk_index(spark, small_corpus, tmp_path_factory):
+    from searty_spark.index import write_index
+
+    d = str(tmp_path_factory.mktemp("planidx") / "idx")
+    write_index(small_corpus, d, n_shards=2, n_buckets=8)
+    return d
+
+
+def test_segment_scan_pushes_term_and_bucket_filters(spark, disk_index):
+    from searty_spark.index import load_segments, term_buckets
+
+    seg = load_segments(spark, disk_index)
+    buckets = term_buckets(spark, ["abc"], 8)
+    q = seg.filter(F.col("term") == "abc").filter(F.col("bucket").isin(buckets))
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,abc)" in plan
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bm25_topk_is_take_ordered_with_broadcasts(spark, small_corpus):
+    p = build_postings(small_corpus)
+    s = doc_stats(small_corpus)
+    plan = _plan(bm25_topk(p, s, "shared phrase", k=10))
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_postings_scan_prunes_text_column(spark, disk_index):
+    postings = spark.read.parquet(f"{disk_index}/postings")
+    q = postings.groupBy("term").count()
+    plan = _plan(q)
+    sched = plan.split("ReadSchema", 1)[1][:200]
+    assert "positions" not in sched and "doc_len" not in sched
+
+
+def test_corpus_filter_pushdown(spark, disk_index):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 10).select("doc_id", "n_chars")
+    plan = _plan(q)
+    assert "LessThan(doc_id,10)" in plan
+    assert "text" not in plan.split("ReadSchema", 1)[1][:200]
