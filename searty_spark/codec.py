@@ -30,11 +30,25 @@ _MASK = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
+def varbyte_encode_with_ends(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode + return the exclusive byte end-offset of every value
+    (lets callers slice the stream at arbitrary value boundaries)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    out, ends = _encode_core(v)
+    return out, ends
+
+
 def varbyte_encode(values: np.ndarray) -> np.ndarray:
     """Encode a uint64 array into a flat uint8 varbyte stream."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8)
+    return _encode_core(v)[0]
+
+
+def _encode_core(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # number of 7-bit groups per value (v=0 -> 1 group)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -59,7 +73,7 @@ def varbyte_encode(values: np.ndarray) -> np.ndarray:
         if k > 0:
             cont[idx] = True
     out[cont] |= _CONT
-    return out
+    return out, ends
 
 
 def varbyte_decode(data: np.ndarray | bytes) -> np.ndarray:

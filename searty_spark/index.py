@@ -117,7 +117,15 @@ def write_index(
     # encoding read pre-shuffled columnar rows instead of re-tokenizing.
     if "postings" not in done:
         t0 = time.perf_counter()
-        p = build_postings(corpus, text_col, with_doc_len=True).withColumn(
+        # Web text compresses ~10x in parquet and explodes ~3x at
+        # tokenize time, so input splits sized for scan parallelism are
+        # far too coarse for the tokenize stage — spread the corpus
+        # over the cluster before exploding.
+        target = spark.sparkContext.defaultParallelism
+        src = corpus
+        if corpus.rdd.getNumPartitions() < target:
+            src = corpus.repartition(target)
+        p = build_postings(src, text_col, with_doc_len=True).withColumn(
             "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
         )
         p.write.partitionBy("shard").mode("overwrite").parquet(str(out / "postings"))

@@ -52,18 +52,24 @@ DOC_STATS = T.StructType(
 # compressed docID-sorted segment rows, the analogue of the
 # `inverted_index(token_id, posting_list BLOB)` table
 # (ref schema.sql:19-23) extended with df/cf + block-max metadata for
-# WAND pruning (north rule).
+# WAND pruning (north rule). The DDL-string form actually used by the
+# encoder lives in segments.SEGMENT_SCHEMA (kept as one source of
+# truth for applyInPandas).
 SEGMENTS = T.StructType(
     [
+        T.StructField("shard", T.IntegerType(), False),
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("term", T.StringType(), False),
-        T.StructField("token_id", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
+        T.StructField("df_global", T.LongType(), False),
         T.StructField("cf", T.LongType(), False),
         T.StructField("blob", T.BinaryType(), False),
+        T.StructField("pos_blob", T.BinaryType(), False),
         T.StructField("block_last_doc", T.ArrayType(T.LongType(), False), False),
         T.StructField("block_max_tf", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("block_max_impact", T.ArrayType(T.DoubleType(), False), False),
         T.StructField("block_offset", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("pos_block_offset", T.ArrayType(T.IntegerType(), False), False),
     ]
 )
 

@@ -59,11 +59,13 @@ SEGMENT_COLS = [
 
 
 def bm25_impact(
-    tf: np.ndarray, doc_len: np.ndarray, n_docs: int, avgdl: float, df_global: int
+    tf: np.ndarray, doc_len: np.ndarray, n_docs: int, avgdl: float, df_global
 ) -> np.ndarray:
     """Exact per-(term,doc) BM25 contribution — the same arithmetic
-    order as query.bm25_score_col and oracle.bm25_term_score."""
-    idf = math.log((n_docs - df_global + 0.5) / (df_global + 0.5) + 1.0)
+    order as query.bm25_score_col and oracle.bm25_term_score.
+    ``df_global`` may be a scalar or a per-row array."""
+    dfg = np.asarray(df_global, dtype=np.float64)
+    idf = np.log((n_docs - dfg + 0.5) / (dfg + 0.5) + 1.0)
     tf = tf.astype(np.float64)
     denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_len.astype(np.float64) / avgdl)
     return idf * tf * (BM25_K1 + 1.0) / denom
@@ -154,51 +156,148 @@ def encode_segment_rows(
     avgdl: float,
     block_size: int = BLOCK_SIZE,
 ) -> pd.DataFrame:
-    """One (shard, bucket) pandas group -> one output row per term."""
-    out = []
-    for (shard, bucket, term), g in pdf.groupby(["shard", "bucket", "term"], sort=False):
-        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-        doc_ids = g["doc_id"].to_numpy()[order].astype(np.uint64)
-        tfs = g["tf"].to_numpy()[order].astype(np.int64)
-        dls = g["doc_len"].to_numpy()[order].astype(np.int64)
-        df_global = int(g["df_global"].to_numpy()[0])
-        poss = [np.asarray(p, dtype=np.uint64) for p in g["positions"].to_numpy()[order]]
-        df = len(doc_ids)
-        impacts = bm25_impact(tfs, dls, n_docs, avgdl, df_global)
-        blob_parts, pos_parts = [], []
-        last_doc, max_tf, max_imp, offs, pos_offs = [], [], [], [], []
-        off = poff = 0
-        for s in range(0, df, block_size):
-            e = min(s + block_size, df)
-            part = encode_score_block(doc_ids[s:e], tfs[s:e], dls[s:e])
-            ppart = encode_pos_block(poss[s:e])
-            offs.append(off)
-            pos_offs.append(poff)
-            off += len(part)
-            poff += len(ppart)
-            blob_parts.append(part)
-            pos_parts.append(ppart)
-            last_doc.append(int(doc_ids[e - 1]))
-            max_tf.append(int(tfs[s:e].max()))
-            max_imp.append(float(impacts[s:e].max()))
-        out.append(
-            {
-                "shard": int(shard),
-                "bucket": int(bucket),
-                "term": term,
-                "df": df,
-                "df_global": df_global,
-                "cf": int(tfs.sum()),
-                "blob": b"".join(blob_parts),
-                "pos_blob": b"".join(pos_parts),
-                "block_last_doc": last_doc,
-                "block_max_tf": max_tf,
-                "block_max_impact": max_imp,
-                "block_offset": offs,
-                "pos_block_offset": pos_offs,
-            }
+    """One (shard, bucket) pandas group -> one output row per term.
+
+    Fully vectorized across ALL terms of the partition: rows are sorted
+    once, block boundaries computed with index arithmetic, every value
+    scattered into ONE uint64 stream per blob kind, varbyte-encoded in
+    a single call, and block/term byte offsets recovered from the
+    encoder's per-value end offsets. The only per-term Python work is
+    slicing the final byte buffers (a 450k-term partition encodes in
+    seconds instead of the ~2.7ms/term a pandas-groupby loop costs).
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=pd.Index(SEGMENT_COLS))
+
+    from searty_spark.codec import varbyte_encode_with_ends
+
+    # ---- sort rows by (shard, bucket, term, doc_id) -----------------------
+    term_codes, term_uniques = pd.factorize(pdf["term"], sort=False)
+    sorter = np.lexsort(
+        (
+            pdf["doc_id"].to_numpy(),
+            term_codes,
+            pdf["bucket"].to_numpy(),
+            pdf["shard"].to_numpy(),
         )
-    return pd.DataFrame(out, columns=SEGMENT_COLS)
+    )
+    docs = pdf["doc_id"].to_numpy()[sorter].astype(np.uint64)
+    tfs = pdf["tf"].to_numpy()[sorter].astype(np.uint64)
+    dls = pdf["doc_len"].to_numpy()[sorter].astype(np.uint64)
+    dfg = pdf["df_global"].to_numpy()[sorter].astype(np.int64)
+    shards = pdf["shard"].to_numpy()[sorter]
+    buckets = pdf["bucket"].to_numpy()[sorter]
+    tcodes = term_codes[sorter]
+    pos_objs = pdf["positions"].to_numpy()[sorter]
+    m = docs.size
+
+    # ---- term boundaries --------------------------------------------------
+    new_term = np.ones(m, dtype=bool)
+    new_term[1:] = (tcodes[1:] != tcodes[:-1]) | (shards[1:] != shards[:-1])
+    t_starts = np.flatnonzero(new_term)  # first row of each output segment
+    t_sizes = np.diff(np.concatenate([t_starts, [m]]))
+    cont_rows = np.flatnonzero(~new_term)
+    if cont_rows.size and not (docs[cont_rows] > docs[cont_rows - 1]).all():
+        raise ValueError(
+            "doc_ids not strictly ascending / overlapping doc_id spaces "
+            "(ref postinglist.go:96-106)"
+        )
+
+    # ---- block boundaries (blocks never span terms) -----------------------
+    row_local = np.arange(m) - np.repeat(t_starts, t_sizes)
+    b_per_term = (t_sizes + block_size - 1) // block_size
+    new_block = new_term | (row_local % block_size == 0)
+    b_starts = np.flatnonzero(new_block)
+    b_sizes = np.diff(np.concatenate([b_starts, [m]]))
+
+    # ---- per-row impact + per-block metadata ------------------------------
+    impacts = bm25_impact(tfs, dls, n_docs, avgdl, dfg)
+    blk_last_doc = docs[np.concatenate([b_starts[1:] - 1, [m - 1]])].astype(np.int64)
+    blk_max_tf = np.maximum.reduceat(tfs, b_starts).astype(np.int64)
+    blk_max_imp = np.maximum.reduceat(impacts, b_starts)
+
+    # ---- score stream: per block [n, doc_delta*n, tf*n, dl*n] -------------
+    doc_delta = docs.copy()
+    doc_delta[1:] = docs[1:] - docs[:-1]
+    doc_delta[b_starts] = docs[b_starts]  # first doc of a block absolute
+    s_lens = 1 + 3 * b_sizes  # values per block
+    s_block_off = np.concatenate([[0], np.cumsum(s_lens)[:-1]])
+    stream = np.zeros(int(s_lens.sum()), dtype=np.uint64)
+    stream[s_block_off] = b_sizes.astype(np.uint64)
+    base = np.repeat(s_block_off, b_sizes)  # per-row block value base
+    local = row_local % block_size
+    nb = np.repeat(b_sizes, b_sizes)
+    stream[base + 1 + local] = doc_delta
+    stream[base + 1 + nb + local] = tfs
+    stream[base + 1 + 2 * nb + local] = dls
+    score_bytes, s_ends = varbyte_encode_with_ends(stream)
+    blk_byte_off = np.where(
+        s_block_off > 0, s_ends[np.maximum(s_block_off - 1, 0)], 0
+    ).astype(np.int64)
+    total_score_bytes = int(s_ends[-1])
+
+    # ---- positions stream: per block [n, npos*n, pos_delta*total] ---------
+    npos = np.fromiter((len(p) for p in pos_objs), dtype=np.int64, count=m)
+    flat_pos = (
+        np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_objs])
+        if m
+        else np.empty(0, dtype=np.uint64)
+    )
+    pos_delta = _grouped_delta(flat_pos, npos.astype(np.uint64))
+    pos_per_block = np.add.reduceat(npos, b_starts)
+    p_lens = 1 + b_sizes + pos_per_block
+    p_block_off = np.concatenate([[0], np.cumsum(p_lens)[:-1]])
+    pstream = np.zeros(int(p_lens.sum()), dtype=np.uint64)
+    pstream[p_block_off] = b_sizes.astype(np.uint64)
+    pbase = np.repeat(p_block_off, b_sizes)
+    pstream[pbase + 1 + local] = npos.astype(np.uint64)
+    # row r's positions land at (block base + 1 + n_b) + (#positions of
+    # earlier rows in the same block)
+    pos_before = np.cumsum(npos) - npos  # global prefix
+    pos_before_block = pos_before - np.repeat(pos_before[b_starts], b_sizes)
+    row_dst = pbase + 1 + nb + pos_before_block
+    dst = np.repeat(row_dst, npos) + (np.arange(flat_pos.size) - np.repeat(pos_before, npos))
+    pstream[dst] = pos_delta
+    pos_bytes, p_ends = varbyte_encode_with_ends(pstream)
+    pblk_byte_off = np.where(
+        p_block_off > 0, p_ends[np.maximum(p_block_off - 1, 0)], 0
+    ).astype(np.int64)
+    total_pos_bytes = int(p_ends[-1])
+
+    # ---- assemble one output row per term ---------------------------------
+    t_first_block = np.concatenate([[0], np.cumsum(b_per_term)[:-1]]).astype(np.int64)
+    t_blob_start = blk_byte_off[t_first_block]
+    t_blob_end = np.concatenate([t_blob_start[1:], [total_score_bytes]])
+    t_pos_start = pblk_byte_off[t_first_block]
+    t_pos_end = np.concatenate([t_pos_start[1:], [total_pos_bytes]])
+    t_cf = np.add.reduceat(tfs, t_starts).astype(np.int64)
+    score_buf = score_bytes.tobytes()
+    pos_buf = pos_bytes.tobytes()
+    blk_split = np.cumsum(b_per_term)[:-1]
+    last_doc_l = np.split(blk_last_doc, blk_split)
+    max_tf_l = np.split(blk_max_tf, blk_split)
+    max_imp_l = np.split(blk_max_imp, blk_split)
+    off_l = np.split(blk_byte_off - np.repeat(t_blob_start, b_per_term), blk_split)
+    poff_l = np.split(pblk_byte_off - np.repeat(t_pos_start, b_per_term), blk_split)
+
+    return pd.DataFrame(
+        {
+            "shard": shards[t_starts].astype("int32"),
+            "bucket": buckets[t_starts].astype("int32"),
+            "term": term_uniques.take(tcodes[t_starts]),
+            "df": t_sizes.astype(np.int64),
+            "df_global": dfg[t_starts],
+            "cf": t_cf,
+            "blob": [score_buf[int(a) : int(b)] for a, b in zip(t_blob_start, t_blob_end)],
+            "pos_blob": [pos_buf[int(a) : int(b)] for a, b in zip(t_pos_start, t_pos_end)],
+            "block_last_doc": [x.tolist() for x in last_doc_l],
+            "block_max_tf": [x.tolist() for x in max_tf_l],
+            "block_max_impact": [x.tolist() for x in max_imp_l],
+            "block_offset": [x.astype(np.int32).tolist() for x in off_l],
+            "pos_block_offset": [x.astype(np.int32).tolist() for x in poff_l],
+        },
+        columns=SEGMENT_COLS,
+    )
 
 
 def decode_segment_scores(row, blocks=None):
