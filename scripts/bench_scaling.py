@@ -64,8 +64,10 @@ def main():
     results = {}
     for cpus in (low, high):
         t0 = time.time()
-        # identical job at both parallelism levels (fixed shards/buckets)
-        out = run_build(corpus, str(work / f"idx_{cpus}"), cpus, shards=32, buckets=64)
+        # identical job at both parallelism levels (fixed shards/buckets;
+        # 16x16 = 256 partition dirs keeps the file-commit cost small
+        # relative to compute at this corpus size)
+        out = run_build(corpus, str(work / f"idx_{cpus}"), cpus, shards=16, buckets=16)
         results[cpus] = {
             "build_wall_sec": out["wall_sec"],
             "docs_per_sec": n_docs / out["wall_sec"],

@@ -42,39 +42,35 @@ from searty_spark.segments import (
 
 
 def merge_segment_group(
-    pdf: pd.DataFrame, n_docs: int, avgdl: float, df_global: dict | None = None
+    pdf: pd.DataFrame, n_docs: int, avgdl: float
 ) -> pd.DataFrame:
     """One (shard, bucket) group of unioned segment rows (several rows
-    per term, disjoint doc sets) -> merged segment rows."""
-    rows = []
-    for (shard, bucket, term), g in pdf.groupby(["shard", "bucket", "term"], sort=False):
-        dfg = int(g["df_global_new"].iloc[0])
-        for _, r in g.iterrows():
-            docs, tfs, dls = decode_segment_scores(r)
-            _, plists = decode_segment_positions(r)
-            for i in range(docs.size):
-                rows.append(
-                    (
-                        int(shard),
-                        int(bucket),
-                        term,
-                        int(docs[i]),
-                        int(tfs[i]),
-                        plists[i].astype(np.int64).tolist(),
-                        int(dls[i]),
-                        dfg,
-                    )
-                )
-    flat = pd.DataFrame(
-        rows,
-        columns=["shard", "bucket", "term", "doc_id", "tf", "positions", "doc_len", "df_global"],
-    )
-    if flat.empty:
+    per term, disjoint doc sets) -> merged segment rows.
+
+    Per input segment row: decode its arrays once and append them as
+    columns (no per-posting Python). The re-sort, duplicate-doc check
+    (ref postinglist.go:96-106) and re-encode under the merged global
+    stats all happen inside encode_segment_rows.
+    """
+    cols: dict[str, list] = {k: [] for k in
+                             ["shard", "bucket", "term", "doc_id", "tf", "doc_len", "df_global"]}
+    pos_col: list[np.ndarray] = []
+    for rec in pdf.to_dict("records"):
+        docs, tfs, dls = decode_segment_scores(rec)
+        _, plists = decode_segment_positions(rec)
+        n = docs.size
+        cols["shard"].append(np.full(n, rec["shard"], dtype=np.int64))
+        cols["bucket"].append(np.full(n, rec["bucket"], dtype=np.int64))
+        cols["term"].append(np.full(n, rec["term"], dtype=object))
+        cols["doc_id"].append(docs.astype(np.int64))
+        cols["tf"].append(tfs.astype(np.int64))
+        cols["doc_len"].append(dls.astype(np.int64))
+        cols["df_global"].append(np.full(n, rec["df_global_new"], dtype=np.int64))
+        pos_col.extend(plists)
+    if not pos_col and not cols["doc_id"]:
         return pd.DataFrame(columns=pd.Index(SEGMENT_COLS))
-    # duplicate doc within a term across sources = corrupt input
-    dup = flat.duplicated(subset=["term", "doc_id"])
-    if dup.any():
-        raise ValueError("overlapping doc_id spaces in merge inputs (ref postinglist.go:96-106)")
+    flat = pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+    flat["positions"] = pd.Series(pos_col, dtype=object)
     return encode_segment_rows(flat, n_docs, avgdl)
 
 
