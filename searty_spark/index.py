@@ -8,6 +8,10 @@ resumes from the last committed unit):
     <dir>/docstats/           (doc_id, doc_len) parquet
     <dir>/dictionary/         (term, token_id, df_global) parquet
     <dir>/segments/shard=N/bucket=M/   segment rows parquet
+                              (token rows shuffle straight from the
+                              tokenizer into the segment encoder —
+                              no postings intermediate; see
+                              segments.build_segments_from_tokens)
     <dir>/stats.json          {n_docs, avgdl, sum_dl, n_shards, n_buckets}
     <dir>/checkpoint.jsonl    one line per committed unit + metrics
                               (stage, shard, wall_sec, rows, docs_per_sec)
@@ -32,8 +36,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searty_spark.build import build_postings, doc_stats
-from searty_spark.segments import build_segments
+from searty_spark.build import doc_stats
 
 DEFAULT_SHARDS = 4
 DEFAULT_BUCKETS = 32
@@ -111,35 +114,33 @@ def write_index(
                 docs_per_sec=stats["n_docs"] / wall)
     stats = json.loads((out / "stats.json").read_text())
 
-    # --- stage 2: postings (tokenize ONCE, reused by stages 3+4) --------
-    # At 10^12 docs the tokenize+aggregate pass dominates; persisting
-    # it makes the dictionary a cheap re-aggregation and lets segment
-    # encoding read pre-shuffled columnar rows instead of re-tokenizing.
-    if "postings" not in done:
-        t0 = time.perf_counter()
-        # Web text compresses ~10x in parquet and explodes ~3x at
-        # tokenize time, so input splits sized for scan parallelism are
-        # far too coarse for the tokenize stage — spread the corpus
-        # over the cluster before exploding.
-        target = spark.sparkContext.defaultParallelism
-        src = corpus
-        if corpus.rdd.getNumPartitions() < target:
-            src = corpus.repartition(target)
-        p = build_postings(src, text_col, with_doc_len=True).withColumn(
-            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    # Web text compresses ~10x in parquet and explodes ~3x at tokenize
+    # time, so input splits sized for scan parallelism are far too
+    # coarse for the tokenize stages — spread the corpus first.
+    target = spark.sparkContext.defaultParallelism
+    src = corpus
+    if corpus.rdd.getNumPartitions() < target:
+        src = corpus.repartition(target)
+
+    def tokens_with_len():
+        from searty_spark.tokenize import trigrams_col
+
+        return src.select(
+            "doc_id",
+            F.greatest(F.char_length(F.col(text_col)) - F.lit(2), F.lit(0))
+            .cast("long")
+            .alias("doc_len"),
+            F.posexplode(trigrams_col(text_col)).alias("pos", "term"),
         )
-        p.write.partitionBy("shard").mode("overwrite").parquet(str(out / "postings"))
-        wall = time.perf_counter() - t0
-        _commit(out_dir, "postings", wall_sec=wall,
-                docs_per_sec=stats["n_docs"] / wall if wall else 0.0)
 
-    postings_all = spark.read.parquet(str(out / "postings"))
-
-    # --- stage 3: dictionary (global term df) ---------------------------
+    # --- stage 2: dictionary (global term df) ---------------------------
     if "dictionary" not in done:
         t0 = time.perf_counter()
         d = (
-            postings_all.groupBy("term")
+            tokens_with_len()
+            .select("term", "doc_id")
+            .distinct()
+            .groupBy("term")
             .agg(F.count("*").alias("df_global"))
             .select("term", F.xxhash64("term").alias("token_id"), "df_global")
         )
@@ -164,16 +165,18 @@ def write_index(
         if unit in done:
             continue
         t0 = time.perf_counter()
-        # partition pruning on the postings table's shard directories
-        postings = postings_all.filter(F.col("shard").between(lo, hi - 1)).drop("shard")
-        seg = build_segments(
-            postings,
-            dstats,
+        from searty_spark.segments import build_segments_from_tokens
+
+        toks = tokens_with_len().filter(
+            F.pmod(F.col("doc_id"), F.lit(n_shards)).between(lo, hi - 1)
+        )
+        seg = build_segments_from_tokens(
+            toks,
+            df_lookup=dictionary.select("term", "df_global"),
             n_shards=n_shards,
             n_buckets=n_buckets,
             n_docs=stats["n_docs"],
             avgdl=stats["avgdl"],
-            df_lookup=dictionary.select("term", "df_global"),
         )
         seg.write.partitionBy("shard", "bucket").mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"

@@ -156,22 +156,10 @@ def encode_segment_rows(
     avgdl: float,
     block_size: int = BLOCK_SIZE,
 ) -> pd.DataFrame:
-    """One (shard, bucket) pandas group -> one output row per term.
-
-    Fully vectorized across ALL terms of the partition: rows are sorted
-    once, block boundaries computed with index arithmetic, every value
-    scattered into ONE uint64 stream per blob kind, varbyte-encoded in
-    a single call, and block/term byte offsets recovered from the
-    encoder's per-value end offsets. The only per-term Python work is
-    slicing the final byte buffers (a 450k-term partition encodes in
-    seconds instead of the ~2.7ms/term a pandas-groupby loop costs).
-    """
+    """One (shard, bucket) group of POSTING rows (term, doc_id, tf,
+    positions, doc_len, df_global) -> one output row per term."""
     if len(pdf) == 0:
         return pd.DataFrame(columns=pd.Index(SEGMENT_COLS))
-
-    from searty_spark.codec import varbyte_encode_with_ends
-
-    # ---- sort rows by (shard, bucket, term, doc_id) -----------------------
     term_codes, term_uniques = pd.factorize(pdf["term"], sort=False)
     sorter = np.lexsort(
         (
@@ -181,20 +169,122 @@ def encode_segment_rows(
             pdf["shard"].to_numpy(),
         )
     )
-    docs = pdf["doc_id"].to_numpy()[sorter].astype(np.uint64)
-    tfs = pdf["tf"].to_numpy()[sorter].astype(np.uint64)
-    dls = pdf["doc_len"].to_numpy()[sorter].astype(np.uint64)
-    dfg = pdf["df_global"].to_numpy()[sorter].astype(np.int64)
-    shards = pdf["shard"].to_numpy()[sorter]
-    buckets = pdf["bucket"].to_numpy()[sorter]
-    tcodes = term_codes[sorter]
     pos_objs = pdf["positions"].to_numpy()[sorter]
+    m = sorter.size
+    npos = np.fromiter((len(x) for x in pos_objs), dtype=np.int64, count=m)
+    flat_pos = (
+        np.concatenate([np.asarray(x, dtype=np.uint64) for x in pos_objs])
+        if m
+        else np.empty(0, dtype=np.uint64)
+    )
+    return _encode_flat(
+        shards=pdf["shard"].to_numpy()[sorter],
+        buckets=pdf["bucket"].to_numpy()[sorter],
+        tcodes=term_codes[sorter],
+        term_uniques=term_uniques,
+        docs=pdf["doc_id"].to_numpy()[sorter].astype(np.uint64),
+        tfs=pdf["tf"].to_numpy()[sorter].astype(np.uint64),
+        dls=pdf["doc_len"].to_numpy()[sorter].astype(np.uint64),
+        dfg=pdf["df_global"].to_numpy()[sorter].astype(np.int64),
+        npos=npos,
+        flat_pos=flat_pos,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        block_size=block_size,
+    )
+
+
+def encode_segment_occurrences(
+    pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> pd.DataFrame:
+    """One (shard, bucket) group of raw TOKEN OCCURRENCE rows
+    (term, doc_id, pos, doc_len, df_global) -> one output row per term.
+
+    This is the zero-intermediate path: token rows shuffle straight
+    from the tokenizer to the encoder, which performs the (term, doc)
+    aggregation itself (a sort + reduceat) — no collect_list, no nested
+    arrays across Arrow, no postings materialization.
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=pd.Index(SEGMENT_COLS))
+    term_codes, term_uniques = pd.factorize(pdf["term"], sort=False)
+    sorter = np.lexsort(
+        (
+            pdf["pos"].to_numpy(),
+            pdf["doc_id"].to_numpy(),
+            term_codes,
+            pdf["bucket"].to_numpy(),
+            pdf["shard"].to_numpy(),
+        )
+    )
+    tcodes = term_codes[sorter]
+    docs_o = pdf["doc_id"].to_numpy()[sorter].astype(np.int64)
+    pos_o = pdf["pos"].to_numpy()[sorter].astype(np.uint64)
+    shards_o = pdf["shard"].to_numpy()[sorter]
+    buckets_o = pdf["bucket"].to_numpy()[sorter]
+    dls_o = pdf["doc_len"].to_numpy()[sorter].astype(np.uint64)
+    dfg_o = pdf["df_global"].to_numpy()[sorter].astype(np.int64)
+    n = docs_o.size
+    new_post = np.ones(n, dtype=bool)
+    new_post[1:] = (
+        (tcodes[1:] != tcodes[:-1])
+        | (docs_o[1:] != docs_o[:-1])
+        | (shards_o[1:] != shards_o[:-1])
+    )
+    p_starts = np.flatnonzero(new_post)
+    npos = np.diff(np.concatenate([p_starts, [n]]))
+    return _encode_flat(
+        shards=shards_o[p_starts],
+        buckets=buckets_o[p_starts],
+        tcodes=tcodes[p_starts],
+        term_uniques=term_uniques,
+        docs=docs_o[p_starts].astype(np.uint64),
+        tfs=npos.astype(np.uint64),
+        dls=dls_o[p_starts],
+        dfg=dfg_o[p_starts],
+        npos=npos,
+        flat_pos=pos_o,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        block_size=block_size,
+    )
+
+
+def _encode_flat(
+    shards,
+    buckets,
+    tcodes,
+    term_uniques,
+    docs,
+    tfs,
+    dls,
+    dfg,
+    npos,
+    flat_pos,
+    n_docs,
+    avgdl,
+    block_size,
+) -> pd.DataFrame:
+    """Vectorized core: inputs are POSTING-level arrays already sorted
+    by (shard, bucket, term, doc_id); ``flat_pos`` holds every position
+    in that row order, ``npos`` the per-posting counts.
+
+    Every value is scattered into ONE uint64 stream per blob kind,
+    varbyte-encoded in a single call; block/term byte offsets come from
+    the encoder's per-value end offsets. The only per-term Python work
+    is slicing the final byte buffers.
+    """
+    from searty_spark.codec import varbyte_encode_with_ends
+
     m = docs.size
 
     # ---- term boundaries --------------------------------------------------
     new_term = np.ones(m, dtype=bool)
     new_term[1:] = (tcodes[1:] != tcodes[:-1]) | (shards[1:] != shards[:-1])
-    t_starts = np.flatnonzero(new_term)  # first row of each output segment
+    t_starts = np.flatnonzero(new_term)
     t_sizes = np.diff(np.concatenate([t_starts, [m]]))
     cont_rows = np.flatnonzero(~new_term)
     if cont_rows.size and not (docs[cont_rows] > docs[cont_rows - 1]).all():
@@ -220,11 +310,11 @@ def encode_segment_rows(
     doc_delta = docs.copy()
     doc_delta[1:] = docs[1:] - docs[:-1]
     doc_delta[b_starts] = docs[b_starts]  # first doc of a block absolute
-    s_lens = 1 + 3 * b_sizes  # values per block
+    s_lens = 1 + 3 * b_sizes
     s_block_off = np.concatenate([[0], np.cumsum(s_lens)[:-1]])
     stream = np.zeros(int(s_lens.sum()), dtype=np.uint64)
     stream[s_block_off] = b_sizes.astype(np.uint64)
-    base = np.repeat(s_block_off, b_sizes)  # per-row block value base
+    base = np.repeat(s_block_off, b_sizes)
     local = row_local % block_size
     nb = np.repeat(b_sizes, b_sizes)
     stream[base + 1 + local] = doc_delta
@@ -237,12 +327,6 @@ def encode_segment_rows(
     total_score_bytes = int(s_ends[-1])
 
     # ---- positions stream: per block [n, npos*n, pos_delta*total] ---------
-    npos = np.fromiter((len(p) for p in pos_objs), dtype=np.int64, count=m)
-    flat_pos = (
-        np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_objs])
-        if m
-        else np.empty(0, dtype=np.uint64)
-    )
     pos_delta = _grouped_delta(flat_pos, npos.astype(np.uint64))
     pos_per_block = np.add.reduceat(npos, b_starts)
     p_lens = 1 + b_sizes + pos_per_block
@@ -251,9 +335,7 @@ def encode_segment_rows(
     pstream[p_block_off] = b_sizes.astype(np.uint64)
     pbase = np.repeat(p_block_off, b_sizes)
     pstream[pbase + 1 + local] = npos.astype(np.uint64)
-    # row r's positions land at (block base + 1 + n_b) + (#positions of
-    # earlier rows in the same block)
-    pos_before = np.cumsum(npos) - npos  # global prefix
+    pos_before = np.cumsum(npos) - npos
     pos_before_block = pos_before - np.repeat(pos_before[b_starts], b_sizes)
     row_dst = pbase + 1 + nb + pos_before_block
     dst = np.repeat(row_dst, npos) + (np.arange(flat_pos.size) - np.repeat(pos_before, npos))
@@ -282,8 +364,8 @@ def encode_segment_rows(
 
     return pd.DataFrame(
         {
-            "shard": shards[t_starts].astype("int32"),
-            "bucket": buckets[t_starts].astype("int32"),
+            "shard": np.asarray(shards)[t_starts].astype("int32"),
+            "bucket": np.asarray(buckets)[t_starts].astype("int32"),
             "term": term_uniques.take(tcodes[t_starts]),
             "df": t_sizes.astype(np.int64),
             "df_global": dfg[t_starts],
@@ -380,5 +462,41 @@ def build_segments(
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         return encode_segment_rows(pdf, n_docs, avgdl, block_size)
+
+    return with_keys.groupBy("shard", "bucket").applyInPandas(encode, SEGMENT_SCHEMA)
+
+
+def build_segments_from_tokens(
+    tokens: DataFrame,
+    df_lookup: DataFrame,
+    n_shards: int,
+    n_buckets: int,
+    n_docs: int,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """Token-occurrence rows (doc_id, doc_len, pos, term) -> segments,
+    with ONE wide shuffle and no materialized postings.
+
+    The tokenizer's output shuffles straight to its (shard, bucket)
+    encoder group; the (term, doc) aggregation happens inside the
+    vectorized encoder (sort + reduceat) instead of a collect_list —
+    nothing nested ever crosses Arrow. ``df_lookup`` (term, df_global)
+    joins in before the shuffle (broadcast when it fits; at dictionary
+    sizes where it doesn't, Catalyst falls back to a shuffle join and
+    the overall plan is still one wide shuffle of the token stream).
+    """
+    with_keys = tokens.join(df_lookup, "term").select(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "term",
+        "doc_id",
+        "pos",
+        "doc_len",
+        "df_global",
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_segment_occurrences(pdf, n_docs, avgdl, block_size)
 
     return with_keys.groupBy("shard", "bucket").applyInPandas(encode, SEGMENT_SCHEMA)

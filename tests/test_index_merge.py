@@ -52,7 +52,7 @@ def test_build_query_resume_and_merge(spark, corpus, oracle_idx, tmp_path_factor
 
     ckpt = Path(full_dir) / "checkpoint.jsonl"
     units = [json.loads(x)["unit"] for x in ckpt.read_text().splitlines()]
-    assert units == ["docstats", "postings", "dictionary"] + [
+    assert units == ["docstats", "dictionary"] + [
         f"segments/shards={s}-{s}" for s in range(3)
     ]
 

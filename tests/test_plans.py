@@ -50,12 +50,13 @@ def test_bm25_topk_is_take_ordered_with_broadcasts(spark, small_corpus):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def test_postings_scan_prunes_text_column(spark, disk_index):
-    postings = spark.read.parquet(f"{disk_index}/postings")
-    q = postings.groupBy("term").count()
+def test_segment_scan_prunes_blob_columns(spark, disk_index):
+    from searty_spark.index import load_segments
+
+    q = load_segments(spark, disk_index).groupBy("term").count()
     plan = _plan(q)
-    sched = plan.split("ReadSchema", 1)[1][:200]
-    assert "positions" not in sched and "doc_len" not in sched
+    sched = plan.split("ReadSchema", 1)[1][:300]
+    assert "blob" not in sched and "pos_blob" not in sched
 
 
 def test_corpus_filter_pushdown(spark, disk_index):
