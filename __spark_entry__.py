@@ -32,15 +32,32 @@ JACC_T = 0.2
 SYMBOL = "key"
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the searty_spark package zip to executor Python workers —
+    the driver may hand us a session it built itself (no --py-files),
+    and our pandas-UDF closures unpickle `searty_spark` on workers."""
+    try:
+        from searty_spark.session import _package_zip
+
+        if not getattr(spark, "_searty_shipped", False):
+            spark.sparkContext.addPyFile(_package_zip())
+            spark._searty_shipped = True
+    except Exception:
+        pass  # already added, or local import works anyway
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 

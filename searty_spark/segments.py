@@ -32,8 +32,6 @@ norms-table join at query time.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

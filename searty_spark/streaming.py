@@ -44,6 +44,44 @@ def windowed_counts_stream(events: DataFrame, window: str = "1 hour", watermark:
     )
 
 
+def incremental_index_stream(
+    spark: SparkSession,
+    corpus_stream_dir: str,
+    work_dir: str,
+    n_shards: int = 4,
+    n_buckets: int = 8,
+) -> list[str]:
+    """Streaming ingestion of a webpages corpus: every micro-batch is
+    indexed into its own partial index (the map phase of SURVEY.md
+    §3.2), which the hierarchical merge then reduces — exactly the
+    reference's per-system-DB -> searty-merge topology, driven by
+    Structured Streaming. Returns the partial index dirs (pass them to
+    merge.merge_indexes). Batches must carry disjoint doc_id ranges
+    (true for append-only crawls)."""
+    from searty_spark.index import write_index
+    from searty_spark.schema import WEBPAGES
+
+    dirs: list[str] = []
+
+    def per_batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        d = f"{work_dir}/batch_{epoch_id}"
+        write_index(df, d, n_shards=n_shards, n_buckets=n_buckets, resume=False)
+        dirs.append(d)
+
+    q = (
+        spark.readStream.schema(WEBPAGES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus_stream_dir)
+        .writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dirs
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a bounded file-backed stream to completion; return results."""
     q = (
