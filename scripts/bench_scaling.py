@@ -67,7 +67,8 @@ def main():
         # identical job at both parallelism levels (fixed shards/buckets;
         # 16x16 = 256 partition dirs keeps the file-commit cost small
         # relative to compute at this corpus size)
-        out = run_build(corpus, str(work / f"idx_{cpus}"), cpus, shards=16, buckets=16)
+        idx = str(work / f"idx_{cpus}")
+        out = run_build(corpus, idx, cpus, shards=16, buckets=16)
         results[cpus] = {
             "build_wall_sec": out["wall_sec"],
             "docs_per_sec": n_docs / out["wall_sec"],
@@ -75,6 +76,24 @@ def main():
         }
         print(f"local[{cpus}]: {out['wall_sec']:.1f}s build, "
               f"{results[cpus]['docs_per_sec']:.0f} docs/s")
+        # query-side latency at this parallelism (same warmed index job)
+        import os
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(REPO)
+        env["PYSPARK_PYTHON"] = sys.executable
+        q = subprocess.run(
+            [sys.executable, "-m", "searty_spark.cli", "--cpus", str(cpus),
+             "bench-queries", "--index", idx, "--repeat", "5",
+             "the", "and", "ing", "qu", "abcdef"],
+            capture_output=True, text=True, cwd=str(REPO), timeout=1200, env=env,
+        )
+        if q.returncode == 0:
+            qj = [l for l in q.stdout.splitlines() if l.startswith("{")]
+            if qj:
+                results[cpus]["query"] = json.loads(qj[-1])
+                print(f"local[{cpus}]: query p50={results[cpus]['query']['p50']:.3f}s "
+                      f"p95={results[cpus]['query']['p95']:.3f}s")
 
     eff = (results[low]["build_wall_sec"] / results[high]["build_wall_sec"]) / (high / low)
     summary = {

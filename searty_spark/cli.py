@@ -18,7 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
+import time  # noqa: F401 — used by several subcommands
 
 
 def _corpus(spark, spec: str):
@@ -75,6 +75,49 @@ def cmd_query(args) -> None:
                 print(f"{rank}\t{r['doc_id']}\t{r['score']}")
 
 
+def cmd_bench_queries(args) -> None:
+    """Repeated warmed top-k queries -> one JSON line of latencies."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from searty_spark.index import load_segments, load_stats, term_buckets
+    from searty_spark.session import get_spark
+    from searty_spark.tokenize import tokenize
+    from searty_spark.wand import wand_topk
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-bench-queries")
+    stats = load_stats(args.index)
+    seg = (
+        load_segments(spark, args.index)
+        .repartition(stats["n_shards"], "shard")
+        .cache()
+    )
+    seg.count()
+    lats = []
+    for i in range(args.repeat):
+        for q in args.queries:
+            t0 = time.perf_counter()
+            wand_topk(
+                seg, None, q, k=args.k,
+                n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+                n_shards=stats["n_shards"],
+            ).collect()
+            if i > 0:
+                lats.append(time.perf_counter() - t0)
+    lats.sort()
+    print(
+        json.dumps(
+            {
+                "n": len(lats),
+                "p50": lats[len(lats) // 2],
+                "p95": lats[int(len(lats) * 0.95)],
+                "qps": len(lats) / sum(lats),
+            }
+        )
+    )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="searty_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -99,6 +142,13 @@ def main(argv=None) -> None:
     q.add_argument("--phrase", action="store_true")
     q.add_argument("queries", nargs="+")
     q.set_defaults(fn=cmd_query)
+
+    bq = sub.add_parser("bench-queries")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("-k", type=int, default=10)
+    bq.add_argument("--repeat", type=int, default=5)
+    bq.add_argument("queries", nargs="+")
+    bq.set_defaults(fn=cmd_bench_queries)
 
     args = p.parse_args(argv)
     args.fn(args)

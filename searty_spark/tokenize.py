@@ -49,6 +49,23 @@ def trigrams_col(text: Column | str, n: int = NGRAM_N) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def trigrams_pandas_udf(n: int = NGRAM_N):
+    """Arrow-batched pandas-UDF tokenizer — exists to PROVE parity with
+    the SQL-native :func:`trigrams_col` (tests/test_tokenize_parity);
+    the SQL version is the hot path (whole-stage codegen, no Python)."""
+    import pandas  # noqa: F401 — must be a resolvable global for the hint
+
+    from pyspark.sql import types as T
+
+    globals()["pandas"] = pandas
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(text: "pandas.Series") -> "pandas.Series":
+        return text.map(lambda t: tokenize(t, n))
+
+    return _udf
+
+
 def duckdb_tokens_cte(table: str = "documents", n: int = NGRAM_N) -> str:
     """DuckDB CTE body producing (doc_id, term, pos) — the oracle-side
     twin of :func:`trigrams_col` + posexplode. ``substring`` is
