@@ -220,6 +220,34 @@ def q_ivf_topk(spark, sf):
     return ann.ivf_topk(_emb(spark, sf), query_vec_id=0, k=10, n_cells=8, n_probe=2)
 
 
+def q_top_docs_per_lang(spark, sf):
+    """Window top-k per group: 3 longest docs per language."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf)
+        .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("lang", "rnk")
+    )
+
+
+def q_lang_source_rollup(spark, sf):
+    """ROLLUP aggregation over (lang, source) with grouping-set nulls."""
+    return (
+        _docs(spark, sf)
+        .rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("sum_chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
 def q_sessionize(spark, sf):
     return events.sessionize(_events(spark, sf), gap_minutes=30)
 
@@ -258,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "lang_source_rollup": q_lang_source_rollup,
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
     }
@@ -442,6 +472,18 @@ SELECT vec_id,
                 * sqrt(list_dot_product(qv, qv))), 6) AS cos
 FROM cand CROSS JOIN q
 ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        "top_docs_per_lang": """
+SELECT lang, doc_id, n_chars, cast(rnk AS int) AS rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents) t
+WHERE rnk <= 3
+""",
+        "lang_source_rollup": """
+SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+       cast(count(*) AS bigint) AS n_docs, cast(sum(n_chars) AS bigint) AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)
 """,
         "sessionize": """
 WITH g AS (
