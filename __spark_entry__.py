@@ -220,6 +220,44 @@ def q_ivf_topk(spark, sf):
     return ann.ivf_topk(_emb(spark, sf), query_vec_id=0, k=10, n_cells=8, n_probe=2)
 
 
+def q_revenue_by_nation(spark, sf):
+    """Multi-way join + agg (customer x orders x lineitem x nation):
+    the broadcast-dim / shuffle-fact join shape of the index build's
+    dictionary join, exercised on relational tables."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_customers_without_orders(spark, sf):
+    """Anti-join (NOT EXISTS): customers with no order above 400k."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    big = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 def q_top_docs_per_lang(spark, sf):
     """Window top-k per group: 3 longest docs per language."""
     from pyspark.sql import Window
@@ -286,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
+        "revenue_by_nation": q_revenue_by_nation,
+        "customers_without_orders": q_customers_without_orders,
         "top_docs_per_lang": q_top_docs_per_lang,
         "lang_source_rollup": q_lang_source_rollup,
         "sessionize": q_sessionize,
@@ -472,6 +512,20 @@ SELECT vec_id,
                 * sqrt(list_dot_product(qv, qv))), 6) AS cos
 FROM cand CROSS JOIN q
 ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        "revenue_by_nation": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       cast(count(*) AS bigint) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 """,
         "top_docs_per_lang": """
 SELECT lang, doc_id, n_chars, cast(rnk AS int) AS rnk FROM (
