@@ -44,6 +44,7 @@ def cmd_build(args) -> None:
         n_shards=args.shards,
         n_buckets=args.buckets,
         resume=not args.no_resume,
+        store_docs=args.store_docs,
     )
     print(json.dumps({"wall_sec": time.perf_counter() - t0, **m["stats"]}))
 
@@ -64,11 +65,23 @@ def cmd_query(args) -> None:
     from searty_spark.session import get_spark
 
     spark = get_spark(cpus=args.cpus, app_name="searty-query")
+    from pathlib import Path
+
+    docs_path = Path(args.index) / "documents"
     for q in args.queries:
         if args.phrase:
-            rows = phrase_ranges_segments(load_segments(spark, args.index), q).collect()
-            for r in rows:
-                print(f"{r['doc_id']}:{r['start']}:{r['end']}")
+            ranges = phrase_ranges_segments(load_segments(spark, args.index), q)
+            if docs_path.exists():
+                # ref pretty-print shape: key:start:end:line
+                # (lib/searcher/pretty_print.go:34-40)
+                from searty_spark.query import resolve_ranges
+
+                docs = spark.read.parquet(str(docs_path))
+                for r in resolve_ranges(ranges, docs).collect():
+                    print(f"{r['key']}:{r['start']}:{r['end']}:{r['line']}")
+            else:
+                for r in ranges.collect():
+                    print(f"{r['doc_id']}:{r['start']}:{r['end']}")
         else:
             rows = query_index(spark, args.index, q, k=args.k).collect()
             for rank, r in enumerate(rows, 1):
@@ -129,6 +142,8 @@ def main(argv=None) -> None:
     b.add_argument("--shards", type=int, default=4)
     b.add_argument("--buckets", type=int, default=32)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--store-docs", action="store_true",
+                   help="persist (doc_id, url, text) for pretty-printed query results")
     b.set_defaults(fn=cmd_build)
 
     m = sub.add_parser("merge")

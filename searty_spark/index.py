@@ -82,8 +82,16 @@ def write_index(
     resume: bool = True,
     text_col: str = "text",
     shard_batch: int | None = None,
+    store_docs: bool = False,
 ) -> dict:
-    """Build the full index with per-unit checkpoints. Returns metrics."""
+    """Build the full index with per-unit checkpoints. Returns metrics.
+
+    ``store_docs`` additionally persists (doc_id, url, text) — the
+    analogue of the reference's ``document`` table (schema.sql:1-8)
+    that its result pretty-printer resolves against
+    (lib/searcher/pretty_print.go:43-76). Off by default: at corpus
+    scale the source table itself serves that role.
+    """
     spark = corpus.sparkSession
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -113,6 +121,13 @@ def write_index(
         _commit(out_dir, "docstats", wall_sec=wall, rows=stats["n_docs"],
                 docs_per_sec=stats["n_docs"] / wall)
     stats = json.loads((out / "stats.json").read_text())
+
+    if store_docs and "documents" not in done:
+        t0 = time.perf_counter()
+        cols = ["doc_id"] + [c for c in ("url",) if c in corpus.columns] + [text_col]
+        corpus.select(*cols).write.mode("overwrite").parquet(str(out / "documents"))
+        _commit(out_dir, "documents", wall_sec=time.perf_counter() - t0,
+                rows=stats["n_docs"])
 
     # Web text compresses ~10x in parquet and explodes ~3x at tokenize
     # time, so input splits sized for scan parallelism are far too

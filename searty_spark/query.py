@@ -152,6 +152,37 @@ def phrase_match_ranges(
     )
 
 
+def resolve_ranges(ranges: DataFrame, docs: DataFrame) -> DataFrame:
+    """Q8+Q11 (ref resolveResultDocument + pretty_print.go:11-41):
+    join match ranges back to documents and extract the containing
+    line — `line_start..line_end` are the newline-delimited bounds
+    around the match (whole text when there are no newlines), matching
+    the reference's backward/forward line scan. Pure SQL.
+    """
+    j = ranges.join(docs, "doc_id")
+    # 0-based match offsets; substring() is 1-based
+    prefix_rev = F.reverse(F.substring(F.col("text"), 1, F.col("start")))
+    nl_before = F.locate("\n", prefix_rev)  # chars back to previous newline
+    line_start = F.when(nl_before == 0, F.lit(1)).otherwise(
+        F.col("start") - nl_before + 2
+    )
+    suffix = F.expr("substring(text, `end` + 1)")
+    nl_after = F.locate("\n", suffix)
+    line_end = F.when(nl_after == 0, F.char_length("text")).otherwise(
+        F.col("end") + nl_after - 1
+    )
+    key = F.col("url") if "url" in j.columns else F.col("doc_id").cast("string")
+    return j.select(
+        "doc_id",
+        key.alias("key"),
+        "start",
+        "end",
+        F.substring(F.col("text"), line_start, line_end - line_start + F.lit(1)).alias(
+            "line"
+        ),
+    ).orderBy("key", "start")
+
+
 def filename_search(corpus: DataFrame, needle: str) -> DataFrame:
     """Q10 analogue (ref lib/searcher/file_searcher.go:20-33):
     substring match over the document key column."""
