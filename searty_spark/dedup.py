@@ -85,14 +85,20 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFr
 
 
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = 3) -> DataFrame:
-    """(doc_id, perm, minhash) — min over shingles of xxhash64(shingle, perm)."""
+    """(doc_id, sig array<long>) — per permutation i, min over shingles
+    of xxhash64(shingle, i).
+
+    One hash-aggregation with n_perm min() expressions instead of an
+    n_perm-way row explode: the map side combines fully, so the shuffle
+    carries ONE row per doc (at 10^12 docs the explode variant shuffles
+    32x the shingle count — this shuffles 0.03% of that)."""
     sh = word_shingles(docs, k)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
-    return (
-        sh.select("doc_id", "shingle", perms)
-        .select("doc_id", "perm", F.xxhash64("shingle", "perm").alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(n_perm)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig")
     )
 
 
@@ -112,14 +118,25 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_perm // n_bands
     sig = minhash_signatures(docs, n_perm, k)
-    bands = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "perm", "minhash"))))
-            ).alias("band_key")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
     a = bands.alias("a")
     b = bands.alias("b")
