@@ -88,6 +88,31 @@ def cmd_query(args) -> None:
                 print(f"{rank}\t{r['doc_id']}\t{r['score']}")
 
 
+def cmd_describe(args) -> None:
+    """Index describe (ref lib/indexer/describe.go:11-29): global stats,
+    per-shard segment counts, heaviest terms."""
+    from pyspark.sql import functions as F
+
+    from searty_spark.index import load_segments, load_stats
+    from searty_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-describe")
+    stats = load_stats(args.index)
+    seg = load_segments(spark, args.index)
+    shards = seg.groupBy("shard").agg(
+        F.count("*").alias("segments"), F.sum("df").alias("postings")
+    ).orderBy("shard").collect()
+    top = (
+        seg.groupBy("term").agg(F.sum("df").alias("df")).orderBy(F.desc("df"), "term")
+        .limit(args.top).collect()
+    )
+    print(json.dumps(stats))
+    for r in shards:
+        print(f"shard={r['shard']} segments={r['segments']} postings={r['postings']}")
+    for r in top:
+        print(f"term={r['term']!r} df={r['df']}")
+
+
 def cmd_bench_queries(args) -> None:
     """Repeated warmed top-k queries -> one JSON line of latencies."""
     import statistics
@@ -157,6 +182,11 @@ def main(argv=None) -> None:
     q.add_argument("--phrase", action="store_true")
     q.add_argument("queries", nargs="+")
     q.set_defaults(fn=cmd_query)
+
+    d = sub.add_parser("describe")
+    d.add_argument("--index", required=True)
+    d.add_argument("--top", type=int, default=10)
+    d.set_defaults(fn=cmd_describe)
 
     bq = sub.add_parser("bench-queries")
     bq.add_argument("--index", required=True)
