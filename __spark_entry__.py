@@ -212,6 +212,10 @@ def q_embedding_topk(spark, sf):
     return ann.cosine_topk(_emb(spark, sf), query_vec_id=0, k=K_BM25)
 
 
+def q_embedding_dup_pairs(spark, sf):
+    return ann.cosine_dup_pairs(_emb(spark, sf), threshold=0.45)
+
+
 def q_ivf_assign(spark, sf):
     return ann.ivf_assign(_emb(spark, sf), n_cells=8)
 
@@ -322,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_stats": q_lang_stats,
         "embedding_topk": q_embedding_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "revenue_by_nation": q_revenue_by_nation,
@@ -471,6 +476,15 @@ SELECT vec_id,
                 * sqrt(list_dot_product(qv, qv))), 6) AS cos
 FROM embeddings, q WHERE vec_id != 0
 ORDER BY 2 DESC, vec_id LIMIT {K_BM25}
+""",
+        "embedding_dup_pairs": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
 """,
         "ivf_assign": """
 WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),

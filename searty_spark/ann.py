@@ -52,6 +52,25 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFr
     )
 
 
+def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """(vec_id_a, vec_id_b, cos) — embedding-cosine near-duplicate
+    pairs. Exact all-pairs at test scale; at 10^12 rows this runs ONLY
+    on LSH/IVF candidate pairs (compose with ivf_assign: join on cell
+    first), exactly like jaccard_pairs runs after MinHash LSH."""
+    a = embeddings.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
 def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
     """(vec_id, cell) — nearest-centroid assignment; centroids are the
     embeddings of vec_id 0..n_cells-1 (fixed, deterministic)."""
