@@ -195,3 +195,77 @@ def wand_topk(
     )
     local = rep.mapInPandas(run, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_topk_batch(
+    segments: DataFrame,
+    queries: dict[str, str],
+    k: int = 10,
+    n: int = NGRAM_N,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) — exact top-k for MANY queries in ONE
+    segment scan. Each term's blocks decode once per shard and are
+    shared by every query that uses the term; the global per-query
+    top-k is a window row_number (partitioned by query, so no global
+    sort). This is the batch-evaluation shape: at 10^12 docs the scan
+    dominates, and it amortizes across the whole query set."""
+    from pyspark.sql import Window
+
+    spark = segments.sparkSession
+    q_terms = {qid: sorted(set(tokenize(q, n))) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double")
+    assert n_docs is not None and avgdl is not None
+    pruned = segments.filter(F.col("term").isin(all_terms))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by_shard: dict[int, dict[str, dict]] = {}
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                by_shard.setdefault(int(rec["shard"]), {})[rec["term"]] = rec
+        for shard, rows in by_shard.items():
+            # decode every needed term once, share across queries
+            cache: dict[str, tuple] = {}
+            for qid, terms in q_terms.items():
+                sub = [rows[t] for t in terms if t in rows]
+                if not sub:
+                    continue
+                frame = shard_topk_cached(sub, n_docs, avgdl, k, cache)
+                frame.insert(0, "query_id", qid)
+                yield frame
+
+    rep = (
+        pruned.repartition(n_shards, "shard") if n_shards else pruned.repartition("shard")
+    )
+    local = rep.mapInPandas(run, "query_id string, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def shard_topk_cached(
+    rows: list[dict], n_docs: int, avgdl: float, k: int, cache: dict
+) -> pd.DataFrame:
+    """shard_topk variant sharing decoded term scores across queries
+    (exhaustive TAAT per query — the decode, not the arithmetic, is the
+    cost being amortized)."""
+    parts = []
+    for r in rows:
+        key = r["term"]
+        if key not in cache:
+            cache[key] = _term_scores(r, n_docs, avgdl)
+        parts.append(cache[key])
+    all_docs = np.concatenate([p[0] for p in parts])
+    all_sc = np.concatenate([p[1] for p in parts])
+    docs, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(docs.size, dtype=np.float64)
+    np.add.at(scores, inv, all_sc)
+    return _topk_frame(docs, scores, k)
