@@ -5,9 +5,10 @@ parity: postings build, dictionary, BM25 top-k, phrase search with
 range coalescing, symbol/filename lookup) or a training-data pipeline
 operator (dedup exact/Jaccard/MinHash/SimHash, ANN brute-force/IVF,
 text analysis, sessionization). ``oracle_sql()`` carries the DuckDB
-twin; MinHash/SimHash candidate generation is hash-function-specific
-so those two run under the weaker rows-only check (their exactness is
-pinned by tests/ instead).
+twin for everything except SimHash, whose candidate generation is
+hash-function-specific (rows-only check; exactness pinned by tests/).
+MinHash output is exact-Jaccard-verified with recall 1.0, so it is
+gated against the exact-Jaccard SQL.
 """
 
 from __future__ import annotations
@@ -401,7 +402,7 @@ FROM y GROUP BY doc_id, island
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "term_stats": f"""
 WITH tok AS ({_TOK}), p AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf FROM p GROUP BY term
@@ -570,3 +571,9 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2
 """,
     }
+    # MinHash LSH candidates are verified with exact Jaccard; band recall
+    # is deterministically 1.0 on this corpus (asserted in tests), so the
+    # output equals the exact-Jaccard pairs — gate it against the same SQL,
+    # which makes the recall claim itself part of the correctness check.
+    out["minhash_pairs"] = out["jaccard_pairs"]
+    return out
