@@ -84,6 +84,61 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFr
     )
 
 
+def jaccard_for_pairs(
+    sh: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle Jaccard computed ONLY for the given candidate
+    pairs (doc_a, doc_b) — the verification primitive that runs after
+    LSH candidate generation.
+
+    Cost is linear in (candidate pairs x shingles per doc), never
+    quadratic in shingle document frequency: the shingle relation is
+    first semi-joined down to candidate docs, then each pair's
+    intersection is counted by expanding the pair with doc_a's
+    shingles and semi-joining against doc_b's. No shingle self-join
+    exists in the plan (asserted in tests/test_plans.py).
+
+    Pairs with an empty shingle intersection drop out of the count
+    aggregation — their Jaccard is 0, below any positive threshold.
+    """
+    if threshold <= 0.0:
+        raise ValueError("jaccard_for_pairs requires threshold > 0 "
+                         "(zero-intersection pairs are pruned, not scored)")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pair_sh = cand.join(
+        sh_c.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    )  # (doc_a, doc_b, shingle): doc_a's shingles fanned out per pair
+    inter = (
+        pair_sh.join(
+            sh_c.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+            "left_semi",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = 3) -> DataFrame:
     """(doc_id, sig array<long>) — per permutation i, min over shingles
     of xxhash64(shingle, i).
@@ -117,7 +172,15 @@ def minhash_lsh_pairs(
     deterministic because candidates are verified exactly.
     """
     rows_per_band = n_perm // n_bands
-    sig = minhash_signatures(docs, n_perm, k)
+    sh = word_shingles(docs, k)
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(n_perm)
+    ]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig"))
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -150,13 +213,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = jaccard_pairs(docs, threshold=0.0, k=k).withColumnRenamed("jacc", "jacc_exact")
-    return (
-        cand.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jacc_exact") >= threshold)
-        .select("doc_a", "doc_b", F.col("jacc_exact").alias("jacc"))
-        .orderBy("doc_a", "doc_b")
-    )
+    # Verify with exact Jaccard scoped to the candidate pairs only —
+    # NEVER the full-corpus shingle self-join (that would cost >= the
+    # brute force LSH exists to avoid; see jaccard_for_pairs).
+    return jaccard_for_pairs(sh, cand, threshold).orderBy("doc_a", "doc_b")
 
 
 def _simhash64(text: str, k: int = 3) -> int:

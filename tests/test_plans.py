@@ -59,6 +59,31 @@ def test_segment_scan_prunes_blob_columns(spark, disk_index):
     assert "blob" not in sched and "pos_blob" not in sched
 
 
+def test_minhash_verification_is_candidate_pruned(spark, small_corpus):
+    """The exact-Jaccard verification inside the LSH pipeline must not
+    contain a full-corpus shingle self-join: every join touching the
+    shingle column is a LeftSemi (candidate-doc prune / per-pair
+    intersection), never an Inner join of the shingle relation with
+    itself (the brute-force shape LSH exists to avoid)."""
+    from searty_spark.dedup import minhash_lsh_pairs
+
+    plan = _plan(minhash_lsh_pairs(small_corpus, threshold=0.2))
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "shingle" in ln and "Keys" not in ln
+    ]
+    # the formatted plan lists join nodes with their keys in detail
+    # sections; scan the detail blocks instead for robustness
+    details = plan.split("\n\n")
+    shingle_joins = [
+        d for d in details
+        if d.startswith("(") and "Join" in d.splitlines()[0] and "shingle" in d
+    ]
+    assert shingle_joins, f"expected shingle joins in plan; lines={join_lines}"
+    for d in shingle_joins:
+        assert "LeftSemi" in d, f"non-semi join on shingle (all-pairs shape):\n{d}"
+
+
 def test_corpus_filter_pushdown(spark, disk_index):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     q = docs.filter(F.col("doc_id") < 10).select("doc_id", "n_chars")
