@@ -5,10 +5,10 @@ parity: postings build, dictionary, BM25 top-k, phrase search with
 range coalescing, symbol/filename lookup) or a training-data pipeline
 operator (dedup exact/Jaccard/MinHash/SimHash, ANN brute-force/IVF,
 text analysis, sessionization). ``oracle_sql()`` carries the DuckDB
-twin for everything except SimHash, whose candidate generation is
-hash-function-specific (rows-only check; exactness pinned by tests/).
-MinHash output is exact-Jaccard-verified with recall 1.0, so it is
-gated against the exact-Jaccard SQL.
+twin for every query, including SimHash (the md5 bit math is
+replicated in SQL — see ``_simhash_sql``). MinHash output is
+exact-Jaccard-verified with recall 1.0, so it is gated against the
+exact-Jaccard SQL, which makes the recall claim part of the gate.
 """
 
 from __future__ import annotations
@@ -354,6 +354,36 @@ _SHINGLES = (
 )
 
 
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """DuckDB twin of dedup.simhash_pairs — replicates the md5-based
+    64-bit fingerprint bit-for-bit (weights per bit over word
+    3-shingles, whole-text fallback for short docs), the 4x16-bit band
+    candidate join, and the popcount Hamming verification."""
+    w_exprs = ", ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h,{16 - b // 4},1)) - 1)"
+        f" // {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(64)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN w{b} > 0 THEN {2 ** b}::UBIGINT ELSE 0::UBIGINT END" for b in range(64)
+    )
+    keys = ", ".join(f"(fp >> {i * 16}) & 65535::UBIGINT" for i in range(4))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks, text FROM documents),
+sxp AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks)-2,0))) AS i FROM t),
+sh0 AS (SELECT DISTINCT doc_id, toks[i]||' '||toks[i+1]||' '||toks[i+2] AS shingle FROM sxp),
+sh AS (SELECT * FROM sh0 UNION ALL SELECT doc_id, text FROM t WHERE len(toks) < 3),
+hx AS (SELECT doc_id, substr(md5(shingle),1,16) AS h FROM sh),
+w AS (SELECT doc_id, {w_exprs} FROM hx GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp_expr}) AS fp FROM w),
+bands AS (SELECT doc_id, fp, unnest([0,1,2,3]) AS band, unnest([{keys}]) AS key FROM fp)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.fp, b.fp)) AS bigint) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
 def _bm25_sql(query: str, k: int) -> str:
     terms = sorted(set(tokenize(query)))
     tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
@@ -576,4 +606,5 @@ FROM events GROUP BY 1, 2
     # output equals the exact-Jaccard pairs — gate it against the same SQL,
     # which makes the recall claim itself part of the correctness check.
     out["minhash_pairs"] = out["jaccard_pairs"]
+    out["simhash_pairs"] = _simhash_sql(max_hamming=8)
     return out

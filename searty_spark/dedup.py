@@ -273,7 +273,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
