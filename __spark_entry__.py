@@ -217,6 +217,13 @@ def q_embedding_dup_pairs(spark, sf):
     return ann.cosine_dup_pairs(_emb(spark, sf), threshold=0.45)
 
 
+def q_embedding_dup_pairs_lsh(spark, sf):
+    """Scale path of embedding_dup_pairs: sign-LSH band join + exact
+    verify; gated against the SAME all-pairs oracle (band recall is
+    1.0 on the test corpora, so the gate checks recall too)."""
+    return ann.cosine_dup_pairs_lsh(_emb(spark, sf), threshold=0.45, dim=64)
+
+
 def q_ivf_assign(spark, sf):
     return ann.ivf_assign(_emb(spark, sf), n_cells=8)
 
@@ -328,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": q_lang_stats,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "revenue_by_nation": q_revenue_by_nation,
@@ -607,4 +615,7 @@ FROM events GROUP BY 1, 2
     # which makes the recall claim itself part of the correctness check.
     out["minhash_pairs"] = out["jaccard_pairs"]
     out["simhash_pairs"] = _simhash_sql(max_hamming=8)
+    # the LSH scale path must reproduce the exact all-pairs result
+    # (recall 1.0 + exact verification) — same oracle by construction
+    out["embedding_dup_pairs_lsh"] = out["embedding_dup_pairs"]
     return out

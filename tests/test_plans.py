@@ -84,6 +84,21 @@ def test_minhash_verification_is_candidate_pruned(spark, small_corpus):
         assert "LeftSemi" in d, f"non-semi join on shingle (all-pairs shape):\n{d}"
 
 
+def test_embedding_dup_lsh_has_no_cartesian(spark):
+    """The LSH near-dup path must candidate-generate via an equi-join
+    on (band, key) — never the cartesian/nested-loop shape the exact
+    all-pairs baseline uses."""
+    from searty_spark.ann import cosine_dup_pairs, cosine_dup_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh_plan = _plan(cosine_dup_pairs_lsh(emb, threshold=0.45, dim=64))
+    assert "CartesianProduct" not in lsh_plan
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
+    # sanity: the exact baseline IS the nested-loop shape (it's the oracle)
+    exact_plan = _plan(cosine_dup_pairs(emb, threshold=0.45))
+    assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+
+
 def test_corpus_filter_pushdown(spark, disk_index):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     q = docs.filter(F.col("doc_id") < 10).select("doc_id", "n_chars")
