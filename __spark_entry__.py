@@ -156,6 +156,30 @@ def q_phrase_ranges(spark, sf):
     )
 
 
+def q_symbol_defs(spark, sf):
+    """Q9 with a package-qualified query (`en:key`): parse ->
+    broadcast symbol match set -> definitions -> documents, the
+    reference's three-way lookup (definition_searcher.go:101-124)."""
+    from searty_spark.symbols import search_definitions
+
+    return search_definitions(_docs(spark, sf), f"en:{SYMBOL}")
+
+
+def q_symbol_defs_bare(spark, sf):
+    """Q9 with a bare-name query — matches the symbol in EVERY
+    package (the reference's resolveSymbolsByName path)."""
+    from searty_spark.symbols import search_definitions
+
+    return search_definitions(_docs(spark, sf), SYMBOL)
+
+
+def q_package_defs(spark, sf):
+    """Package-definition lookup (DEFPACKAGE analogue)."""
+    from searty_spark.symbols import search_package_definitions
+
+    return search_package_definitions(_docs(spark, sf), "en")
+
+
 def q_symbol_lookup(spark, sf):
     """Symbol-definition search analogue (SURVEY.md Q9): the corpus
     'defines' its first whitespace token at position 0."""
@@ -225,11 +249,11 @@ def q_embedding_dup_pairs_lsh(spark, sf):
 
 
 def q_ivf_assign(spark, sf):
-    return ann.ivf_assign(_emb(spark, sf), n_cells=8)
+    return ann.ivf_assign(_emb(spark, sf), n_cells=32)
 
 
 def q_ivf_topk(spark, sf):
-    return ann.ivf_topk(_emb(spark, sf), query_vec_id=0, k=10, n_cells=8, n_probe=2)
+    return ann.ivf_topk(_emb(spark, sf), query_vec_id=0, k=10, n_cells=32, n_probe=4)
 
 
 def q_revenue_by_nation(spark, sf):
@@ -324,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_wand,
         "phrase_ranges_seg": q_phrase_ranges_seg,
         "symbol_lookup": q_symbol_lookup,
+        "symbol_defs": q_symbol_defs,
+        "symbol_defs_bare": q_symbol_defs_bare,
+        "package_defs": q_package_defs,
         "filename_search": q_filename_search,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -360,6 +387,27 @@ _SHINGLES = (
     "sxp AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM t), "
     "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM sxp)"
 )
+
+
+def _symbol_defs_sql(symbol: str, pkg: str | None) -> str:
+    """DuckDB twin of symbols.search_definitions: the deterministic
+    definition-site analyzer (p % 5 == 0, symbol = next token,
+    package = upper(lang), specifier by token length) followed by the
+    name[/package] filter."""
+    name = symbol.upper().replace("'", "''")
+    pkg_pred = f" AND package_name = '{pkg.upper()}'" if pkg else ""
+    return f"""
+WITH t AS (SELECT doc_id, lang, source, string_split(text,' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang, source, toks,
+             unnest(generate_series(0, len(toks)-2)) AS p
+      FROM t WHERE len(toks) >= 2),
+d AS (SELECT doc_id, source, cast(p AS bigint) AS position,
+             upper(toks[p+2]) AS symbol_name, upper(lang) AS package_name,
+             ['DEFUN','DEFMACRO','DEFVAR'][length(toks[p+2]) % 3 + 1] AS specifier
+      FROM s WHERE p % 5 = 0)
+SELECT doc_id, source, position, specifier, symbol_name, package_name
+FROM d WHERE symbol_name = '{name}'{pkg_pred}
+"""
 
 
 def _simhash_sql(max_hamming: int = 8) -> str:
@@ -470,6 +518,15 @@ FROM (SELECT DISTINCT term FROM tok) d
             f"SELECT doc_id, string_split(text, ' ')[1] AS symbol FROM documents "
             f"WHERE string_split(text, ' ')[1] = '{SYMBOL}' ORDER BY doc_id"
         ),
+        "symbol_defs": _symbol_defs_sql(SYMBOL, "en"),
+        "symbol_defs_bare": _symbol_defs_sql(SYMBOL, None),
+        "package_defs": """
+WITH pkg AS (SELECT upper(lang) AS name, min(doc_id) AS doc_id FROM documents GROUP BY 1)
+SELECT doc_id, d.source, cast(0 AS bigint) AS position,
+       'DEFPACKAGE' AS specifier, p.name AS package_name
+FROM pkg p JOIN documents d USING (doc_id)
+WHERE p.name = 'EN'
+""",
         "filename_search": (
             "SELECT doc_id, source FROM documents WHERE contains(source, '1') ORDER BY doc_id"
         ),
@@ -526,7 +583,7 @@ WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
 """,
         "ivf_assign": """
-WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 32),
 s AS (
   SELECT e.vec_id, c.cell,
          round(list_dot_product(e.embedding::DOUBLE[], c.cv)
@@ -537,7 +594,7 @@ r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim D
 SELECT vec_id, cast(cell AS bigint) AS cell FROM r WHERE rn = 1
 """,
         "ivf_topk": """
-WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 32),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
   SELECT e.vec_id, c.cell,
@@ -554,7 +611,7 @@ probe AS (
     SELECT c.cell,
            round(list_dot_product(c.cv, q.qv)
                  / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
-    FROM c CROSS JOIN q ORDER BY sim DESC, cell LIMIT 2) p),
+    FROM c CROSS JOIN q ORDER BY sim DESC, cell LIMIT 4) p),
 cand AS (
   SELECT e.vec_id, e.embedding FROM embeddings e
   JOIN assign a ON a.vec_id = e.vec_id

@@ -133,6 +133,58 @@ def main():
     t, _ = timed(lambda: ann.cosine_topk(emb, 0, k=10).collect())
     results["ann_topk"] = round(t, 4)
 
+    t, n_lsh = timed(lambda: ann.cosine_dup_pairs_lsh(emb, threshold=0.45, dim=64).count())
+    results["ann_dup_lsh"] = round(t, 4)
+    extra["ann_dup_lsh_pairs"] = n_lsh
+
+    # --- trained-IVF recall@10 vs brute force ----------------------------
+    cents = ann.ivf_train(emb, n_cells=32, n_iter=2)
+    truth = {r["vec_id"] for r in ann.cosine_topk(emb, 0, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ann.ivf_topk_trained(emb, 0, cents, k=10, n_probe=4).collect()
+    }
+    extra["ivf_recall_at_10"] = round(len(truth & approx) / 10, 3)
+
+    # --- concurrent query serving (warmed session, 8 threads) ------------
+    # the query-server shape: many independent top-k requests hitting one
+    # warmed SparkSession concurrently, vs the same set evaluated as ONE
+    # batch plan (wand_topk_batch shares each term's decode across queries)
+    import concurrent.futures as cf
+
+    conc_queries = BM25_QUERIES + ["table group", "phrase window", "join data"]
+
+    def one(q):
+        t0 = time.perf_counter()
+        wand_topk(
+            seg, None, q, k=10,
+            n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
+        ).collect()
+        return time.perf_counter() - t0
+
+    with cf.ThreadPoolExecutor(max_workers=len(conc_queries)) as ex:  # warmup
+        list(ex.map(one, conc_queries))
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=len(conc_queries)) as ex:
+        lats = list(ex.map(one, conc_queries))
+    wall = time.perf_counter() - t0
+    extra["concurrent_wall_8q"] = round(wall, 4)
+    extra["concurrent_p95"] = round(pctl(lats, 0.95), 4)
+    extra["concurrent_qps"] = round(len(lats) / wall, 2)
+
+    from searty_spark.wand import wand_topk_batch
+
+    qmap = {f"q{i}": q for i, q in enumerate(conc_queries)}
+    wand_topk_batch(  # warmup
+        seg, qmap, k=10, n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS
+    ).collect()
+    t, _ = timed(
+        lambda: wand_topk_batch(
+            seg, qmap, k=10, n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS
+        ).collect()
+    )
+    extra["batch_wall_8q"] = round(t, 4)
+
     total = round(sum(results.values()), 4)
     out = {
         "metric": "headline_suite_wall",

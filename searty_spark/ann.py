@@ -172,6 +172,88 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def ivf_train(
+    embeddings: DataFrame, n_cells: int = 32, n_iter: int = 2, sample: int = 4096
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids, trained driver-side
+    on a bounded sample — the production IVF shape: training touches
+    ``sample`` vectors regardless of corpus size (at 10^12 rows the
+    codebook still trains on a constant-size sample), while assignment
+    stays fully distributed (:func:`ivf_assign_centroids`).
+
+    Determinism: the sample is the ``sample`` lowest vec_ids, the init
+    is its first ``n_cells`` vectors, and every update runs in fixed
+    numpy order — identical centroids on every run/driver. Empty cells
+    keep their previous centroid."""
+    rows = (
+        embeddings.orderBy("vec_id").limit(sample).select("vec_id", "embedding").collect()
+    )
+    v = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cents = v[:n_cells].copy()
+    for _ in range(n_iter):
+        sims = v @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = v[assign == c]
+            if members.size:
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return cents
+
+
+def ivf_assign_centroids(embeddings: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(vec_id, cell) — distributed nearest-centroid assignment against
+    an explicit codebook (broadcast as an Arrow-batch constant). One
+    numpy matmul per batch; the output cell is the natural partitioning
+    key for the vector table at scale."""
+    c = np.asarray(cents, dtype=np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def best_cell(emb: pd.Series) -> pd.Series:
+        v = np.stack(emb.to_numpy()).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        return pd.Series(np.argmax(v @ c.T, axis=1).astype(np.int64))
+
+    return embeddings.select("vec_id", best_cell("embedding").alias("cell"))
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    cents: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a trained codebook: probe the
+    ``n_probe`` cells nearest the query, exact cosine inside them."""
+    assign = ivf_assign_centroids(embeddings, cents)
+    q_rows = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    qv = np.asarray(q_rows[0]["embedding"], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    c = np.asarray(cents, dtype=np.float64)
+    probe = np.argsort(-(c @ qv))[:n_probe].tolist()
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        embeddings.join(assign, "vec_id")
+        .filter(F.col("cell").isin(probe))
+        .filter(F.col("vec_id") != query_vec_id)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
     """(vec_id, cell) — nearest-centroid assignment; centroids are the
     embeddings of vec_id 0..n_cells-1 (fixed, deterministic)."""

@@ -69,7 +69,16 @@ def cmd_query(args) -> None:
 
     docs_path = Path(args.index) / "documents"
     for q in args.queries:
-        if args.phrase:
+        if args.symbol:
+            # ref `searty -symbol pkg:name` (cmd/searty/searty.go:38-44)
+            from searty_spark.index import query_symbols
+
+            for r in query_symbols(spark, args.index, q).collect():
+                print(
+                    f"{r['source']}:{r['position']}\t{r['specifier']}\t"
+                    f"{r['package_name']}:{r['symbol_name']}"
+                )
+        elif args.phrase:
             ranges = phrase_ranges_segments(load_segments(spark, args.index), q)
             if docs_path.exists():
                 # ref pretty-print shape: key:start:end:line
@@ -180,6 +189,8 @@ def main(argv=None) -> None:
     q.add_argument("--index", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--phrase", action="store_true")
+    q.add_argument("--symbol", action="store_true",
+                   help="symbol-definition search (pkg:name / pkg::name / name)")
     q.add_argument("queries", nargs="+")
     q.set_defaults(fn=cmd_query)
 
@@ -191,7 +202,13 @@ def main(argv=None) -> None:
     bq = sub.add_parser("bench-queries")
     bq.add_argument("--index", required=True)
     bq.add_argument("-k", type=int, default=10)
-    bq.add_argument("--repeat", type=int, default=5)
+    def _repeat(v: str) -> int:
+        n = int(v)
+        if n < 2:  # iteration 0 is warmup; latencies need >= 1 timed run
+            raise argparse.ArgumentTypeError("--repeat must be >= 2 (first run is warmup)")
+        return n
+
+    bq.add_argument("--repeat", type=_repeat, default=5)
     bq.add_argument("queries", nargs="+")
     bq.set_defaults(fn=cmd_bench_queries)
 

@@ -11,8 +11,13 @@ Re-expresses the reference codec semantics from scratch:
 
 Two modes:
 
-- ``delta=False`` — absolute values, byte-compatible with the
-  reference golden vectors (for parity tests).
+- ``delta=False`` — absolute values. Byte-compatibility with the
+  reference holds for the single-uint varbyte golden vectors only:
+  the reference's EncodePostingList walks its Push-prepended list in
+  DESCENDING docID order (encoder.go reversePostingList), while this
+  engine stores postings ascending, so whole posting-list blobs are
+  NOT byte-identical even in absolute mode (order divergence, on top
+  of the delta divergence below).
 - ``delta=True``  — the engine's storage mode: doc ids are
   delta-encoded across postings and positions are delta-encoded within
   a posting before varbyte (north-rule requirement; the reference

@@ -100,10 +100,19 @@ def write_index(
         _ckpt_path(out_dir).unlink()
     metrics: dict[str, float] = {}
 
+    # the document-identity key (ref: document.filename) rides along in
+    # docstats — it is what shared-identity merge dedups on
+    key_col = next((c for c in ("url", "source") if c in corpus.columns), None)
+
     # --- stage 1: doc stats (+ global scalars) --------------------------
     if "docstats" not in done:
         t0 = time.perf_counter()
         ds = doc_stats(corpus, text_col)
+        extra = ([F.col(key_col).alias("key")] if key_col else []) + (
+            [F.col("lang")] if "lang" in corpus.columns else []
+        )
+        if extra:
+            ds = ds.join(corpus.select("doc_id", *extra), "doc_id")
         ds.write.mode("overwrite").parquet(str(out / "docstats"))
         ds2 = spark.read.parquet(str(out / "docstats"))
         row = ds2.agg(
@@ -128,6 +137,30 @@ def write_index(
         corpus.select(*cols).write.mode("overwrite").parquet(str(out / "documents"))
         _commit(out_dir, "documents", wall_sec=time.perf_counter() - t0,
                 rows=stats["n_docs"])
+
+    # --- stage 1b: symbol/package metadata sidecar -----------------------
+    # The analogue of the reference's symbol/package/symbol_definition/
+    # package_definition tables (schema.sql:26-64), persisted next to the
+    # segments so `query --symbol` never touches the corpus. Only emitted
+    # when the corpus carries a lang column (the package analogue).
+    if "lang" in corpus.columns and "symbols" not in done:
+        t0 = time.perf_counter()
+        from searty_spark.symbols import (
+            package_definitions,
+            package_table,
+            symbol_definitions,
+            symbol_table,
+        )
+
+        symbol_table(corpus).write.mode("overwrite").parquet(str(out / "symbols"))
+        symbol_definitions(corpus).write.mode("overwrite").parquet(
+            str(out / "symbol_definitions")
+        )
+        package_table(corpus).write.mode("overwrite").parquet(str(out / "packages"))
+        package_definitions(corpus).write.mode("overwrite").parquet(
+            str(out / "package_definitions")
+        )
+        _commit(out_dir, "symbols", wall_sec=time.perf_counter() - t0)
 
     # Web text compresses ~10x in parquet and explodes ~3x at tokenize
     # time, so input splits sized for scan parallelism are far too
@@ -216,6 +249,26 @@ def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def load_stats(index_dir: str) -> dict:
     return json.loads((Path(index_dir) / "stats.json").read_text())
+
+
+def query_symbols(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
+    """Symbol-definition search against the persisted sidecar — the
+    reference's `searty -symbol` path (cmd/searty/searty.go:38-44)."""
+    from searty_spark.symbols import search_definition_tables
+
+    d = Path(index_dir)
+    if not (d / "symbols").exists():
+        raise FileNotFoundError(f"{index_dir} has no symbol sidecar")
+    syms = spark.read.parquet(str(d / "symbols"))
+    defs = spark.read.parquet(str(d / "symbol_definitions"))
+    ds = spark.read.parquet(str(d / "docstats"))
+    meta = ds.select(
+        "doc_id",
+        (F.col("key") if "key" in ds.columns else F.col("doc_id").cast("string")).alias(
+            "source"
+        ),
+    )
+    return search_definition_tables(syms, defs, meta, query)
 
 
 def query_index(

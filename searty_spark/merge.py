@@ -74,12 +74,78 @@ def merge_segment_group(
     return encode_segment_rows(flat, n_docs, avgdl)
 
 
-def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str) -> dict:
-    """Merge N on-disk indexes (disjoint doc_id spaces) into one."""
+def _decoded_postings(spark: SparkSession, index_dirs: list[str]) -> DataFrame:
+    """Union of all source segments decoded back to posting rows
+    (ord, term, doc_id, tf, doc_len, positions), ``ord`` being the
+    source index's position in ``index_dirs`` — the input shape
+    build_segments consumes plus the provenance column the dedup
+    filter keys on (doc_ids may collide ACROSS indexes when the same
+    document was indexed twice, so (ord, doc_id) is the row identity).
+    Used only by the shared-identity merge, which must FILTER postings
+    and therefore can't stay in blob space."""
+    segs = None
+    for i, d in enumerate(index_dirs):
+        s = load_segments(spark, d).withColumn("ord", F.lit(i))
+        segs = s if segs is None else segs.unionByName(s)
+
+    def run(batches):
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                docs, tfs, dls = decode_segment_scores(rec)
+                if docs.size == 0:
+                    continue
+                _, plists = decode_segment_positions(rec)
+                out = pd.DataFrame(
+                    {
+                        "doc_id": docs.astype(np.int64),
+                        "tf": tfs.astype(np.int64),
+                        "doc_len": dls.astype(np.int64),
+                    }
+                )
+                out.insert(0, "term", rec["term"])
+                out.insert(0, "ord", int(rec["ord"]))
+                out["positions"] = pd.Series(
+                    [p.astype(np.int64) for p in plists], dtype=object
+                )
+                yield out
+
+    return segs.mapInPandas(
+        run,
+        "ord int, term string, doc_id long, tf long, doc_len long, positions array<long>",
+    )
+
+
+def merge_indexes(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    dedup_docs: bool = False,
+) -> dict:
+    """Merge N on-disk indexes into one.
+
+    ``dedup_docs=False`` (default): doc_id spaces must be disjoint and
+    document identities unique — the blob-space fast path (decode,
+    concatenate sorted runs, re-encode under merged stats; one
+    shuffle).
+
+    ``dedup_docs=True``: the reference's shared-document-identity
+    semantics (merge.go:137-190 maps source docs onto the destination
+    doc with the same filename). Documents are keyed by the ``key``
+    column write_index stores in docstats (url/source); when the same
+    key appears in several indexes, the copy from the EARLIEST index
+    (ties: lowest doc_id) wins and every other copy's postings,
+    docstats and definition rows are dropped. The result is
+    content-identical to a single-shot build over the
+    union-minus-duplicates corpus (tested byte-for-byte). This path
+    must filter inside posting lists, so it decodes to posting rows
+    and re-encodes — two shuffles instead of one; use the default for
+    crawl pipelines that guarantee unique doc identity upstream."""
     stats_list = [load_stats(d) for d in index_dirs]
     n_shards = stats_list[0]["n_shards"]
     n_buckets = stats_list[0]["n_buckets"]
     assert all(s["n_shards"] == n_shards and s["n_buckets"] == n_buckets for s in stats_list)
+    if dedup_docs:
+        return _merge_dedup(spark, index_dirs, out_dir, n_shards, n_buckets)
     n_docs = sum(s["n_docs"] for s in stats_list)
     sum_dl = sum(s["sum_dl"] for s in stats_list)
     avgdl = sum_dl / n_docs
@@ -121,4 +187,127 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str) -> d
         "term", F.xxhash64("term").alias("token_id"), F.col("df_global_new").alias("df_global")
     )
     dct.write.mode("overwrite").parquet(str(out / "dictionary"))
+
+    # --- symbol/package metadata (ref merge.go:240-309, M4) -------------
+    # Entity ids are content hashes (md5 of name), identical across
+    # independently-built indexes, so entity merge is union+distinct and
+    # needs none of the reference's id remapping; definition facts are
+    # doc-keyed and docs are disjoint, so they union as-is. A package
+    # shared by several indexes keeps its lowest defining doc_id —
+    # exactly what a single-shot build over the union corpus produces.
+    if all((Path(d) / "symbols").exists() for d in index_dirs):
+        for name in ("symbols", "packages", "symbol_definitions", "package_definitions"):
+            t = None
+            for d in index_dirs:
+                x = spark.read.parquet(str(Path(d) / name))
+                t = x if t is None else t.unionByName(x)
+            if name in ("symbols", "packages"):
+                t = t.distinct()
+            elif name == "package_definitions":
+                t = t.groupBy("package_id", "specifier").agg(
+                    F.min("doc_id").alias("doc_id"), F.min("position").alias("position")
+                )
+            t.write.mode("overwrite").parquet(str(out / name))
+    return stats
+
+
+def _merge_dedup(
+    spark: SparkSession, index_dirs: list[str], out_dir: str, n_shards: int, n_buckets: int
+) -> dict:
+    """Shared-document-identity merge (see merge_indexes docstring)."""
+    from pyspark.sql import Window
+
+    from searty_spark.segments import build_segments
+
+    ds = None
+    for i, d in enumerate(index_dirs):
+        x = spark.read.parquet(str(Path(d) / "docstats")).withColumn("ord", F.lit(i))
+        ds = x if ds is None else ds.unionByName(x)
+    if "key" not in ds.columns:
+        raise ValueError(
+            "dedup_docs=True requires indexes built from a corpus with a "
+            "document key column (url/source) — write_index stores it in docstats"
+        )
+    w = Window.partitionBy("key").orderBy("ord", "doc_id")
+    ranked = ds.withColumn("rn", F.row_number().over(w))
+    survivors = ranked.filter("rn = 1").drop("rn", "ord").cache()
+    dropped = ranked.filter("rn > 1").select("ord", "doc_id").cache()
+
+    row = survivors.agg(F.count("*").alias("n"), F.sum("doc_len").alias("s")).collect()[0]
+    n_docs, sum_dl = int(row["n"]), int(row["s"])
+    avgdl = sum_dl / n_docs
+
+    # losers' postings are filtered in row space (keyed by provenance +
+    # doc_id), then the survivors re-encode under the merged global
+    # stats — content-identical to a single-shot build over the
+    # deduplicated union corpus
+    flat = (
+        _decoded_postings(spark, index_dirs)
+        .join(dropped, ["ord", "doc_id"], "left_anti")
+        .drop("ord")
+    )
+    dfg = flat.groupBy("term").agg(F.count("*").cast("long").alias("df_global"))
+    seg = build_segments(
+        flat,
+        survivors.select("doc_id", "doc_len"),
+        n_shards=n_shards,
+        n_buckets=n_buckets,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        df_lookup=dfg,
+    )
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    seg.write.partitionBy("shard", "bucket").mode("overwrite").parquet(str(out / "segments"))
+    stats = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": avgdl,
+        "n_shards": n_shards,
+        "n_buckets": n_buckets,
+    }
+    (out / "stats.json").write_text(json.dumps(stats))
+    survivors.write.mode("overwrite").parquet(str(out / "docstats"))
+    dfg.select(
+        "term", F.xxhash64("term").alias("token_id"), "df_global"
+    ).write.mode("overwrite").parquet(str(out / "dictionary"))
+
+    # sidecar: definitions are doc-keyed facts -> drop losers' rows;
+    # entities re-derive from the surviving facts / surviving docs so
+    # the result equals the single-shot sidecar
+    if all((Path(d) / "symbols").exists() for d in index_dirs):
+        defs = None
+        syms = None
+        for i, d in enumerate(index_dirs):
+            x = spark.read.parquet(str(Path(d) / "symbol_definitions")).withColumn(
+                "ord", F.lit(i)
+            )
+            defs = x if defs is None else defs.unionByName(x)
+            y = spark.read.parquet(str(Path(d) / "symbols"))
+            syms = y if syms is None else syms.unionByName(y)
+        defs = (
+            defs.join(dropped, ["ord", "doc_id"], "left_anti").drop("ord").distinct().cache()
+        )
+        defs.select("symbol_id", "specifier", "doc_id", "position").write.mode(
+            "overwrite"
+        ).parquet(str(out / "symbol_definitions"))
+        syms.distinct().join(
+            defs.select(F.col("symbol_id").alias("id")).distinct(), "id", "left_semi"
+        ).write.mode("overwrite").parquet(str(out / "symbols"))
+        if "lang" in survivors.columns:
+            pkgs = survivors.select(F.upper("lang").alias("name")).distinct()
+            pkgs.select(F.md5("name").alias("id"), "name").write.mode("overwrite").parquet(
+                str(out / "packages")
+            )
+            survivors.groupBy(F.upper("lang").alias("name")).agg(
+                F.min("doc_id").alias("doc_id")
+            ).select(
+                F.md5("name").alias("package_id"),
+                F.lit("DEFPACKAGE").alias("specifier"),
+                "doc_id",
+                F.lit(0).cast("long").alias("position"),
+            ).write.mode("overwrite").parquet(str(out / "package_definitions"))
+        defs.unpersist()
+    survivors.unpersist()
+    dropped.unpersist()
     return stats

@@ -34,7 +34,17 @@ from searty_spark.tokenize import tokenize
 
 
 def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.DataFrame:
-    """rows: term -> segment row dict. Returns (doc_id, start, end)."""
+    """rows: term -> segment row dict. Returns (doc_id, start, end).
+
+    Fully vectorized: no Python loop scales with the number of
+    candidate docs or matches. The per-offset (doc, rel) pair streams
+    are concatenated, and a (doc, rel) pair is a phrase start iff it
+    occurs in all len(toks) offset streams (the count-distinct-offsets
+    trick of query.py, here as one lexsort + run-length count — pairs
+    are unique within an offset because positions are unique per doc).
+    Range coalescing exploits that every range has the same width, so
+    ends ascend with starts and an island boundary is simply
+    ``start > previous end`` within a doc."""
     empty = pd.DataFrame({"doc_id": [], "start": [], "end": []})
     # all-or-nothing within the shard for the conjunction
     if any(t not in rows for t in toks):
@@ -45,36 +55,39 @@ def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.Data
     )
     if common.size == 0:
         return empty
-    out_doc, out_s, out_e = [], [], []
-    # per-term doc->positions lookup restricted to common docs
-    lookup: dict[str, dict[int, np.ndarray]] = {}
-    for t, (docs, plists) in decoded.items():
+    n_off = len(toks)
+    doc_parts: list[np.ndarray] = []
+    rel_parts: list[np.ndarray] = []
+    for i, t in enumerate(toks):
+        docs, plists = decoded[t]
         idx = np.searchsorted(docs.astype(np.int64), common)
-        lookup[t] = {int(common[i]): plists[idx[i]] for i in range(common.size)}
-    for d in common.tolist():
-        acc: np.ndarray | None = None
-        for i, t in enumerate(toks):
-            rel = lookup[t][d].astype(np.int64) - i
-            acc = rel if acc is None else np.intersect1d(acc, rel)
-            if acc.size == 0:
-                break
-        if acc is None or acc.size == 0:
-            continue
-        starts = np.sort(acc)
-        # coalesce ranges: merge while next.start <= current end
-        cur_s, cur_e = int(starts[0]), int(starts[0]) + width
-        for s in starts[1:].tolist():
-            if s <= cur_e:
-                cur_e = max(cur_e, s + width)
-            else:
-                out_doc.append(d)
-                out_s.append(cur_s)
-                out_e.append(cur_e)
-                cur_s, cur_e = s, s + width
-        out_doc.append(d)
-        out_s.append(cur_s)
-        out_e.append(cur_e)
-    return pd.DataFrame({"doc_id": out_doc, "start": out_s, "end": out_e})
+        lens = np.fromiter((plists[j].size for j in idx), dtype=np.int64, count=idx.size)
+        doc_parts.append(np.repeat(common, lens))
+        rel_parts.append(
+            np.concatenate([plists[j] for j in idx]).astype(np.int64) - i
+        )
+    doc_all = np.concatenate(doc_parts)
+    rel_all = np.concatenate(rel_parts)
+    order = np.lexsort((rel_all, doc_all))
+    d_s, r_s = doc_all[order], rel_all[order]
+    first = np.empty(d_s.size, dtype=bool)
+    first[0] = True
+    first[1:] = (d_s[1:] != d_s[:-1]) | (r_s[1:] != r_s[:-1])
+    grp_start = np.flatnonzero(first)
+    counts = np.diff(np.append(grp_start, d_s.size))
+    keep = grp_start[counts == n_off]
+    if keep.size == 0:
+        return empty
+    docs_m, starts_m = d_s[keep], r_s[keep]  # sorted by (doc, start)
+    ends_m = starts_m + width
+    island = np.empty(docs_m.size, dtype=bool)
+    island[0] = True
+    island[1:] = (docs_m[1:] != docs_m[:-1]) | (starts_m[1:] > ends_m[:-1])
+    isl = np.flatnonzero(island)
+    last = np.append(isl[1:], docs_m.size) - 1
+    return pd.DataFrame(
+        {"doc_id": docs_m[isl], "start": starts_m[isl], "end": ends_m[last]}
+    )
 
 
 def phrase_ranges_segments(
@@ -93,7 +106,16 @@ def phrase_ranges_segments(
         by_shard: dict[int, dict[str, dict]] = {}
         for pdf in batches:
             for rec in pdf.to_dict("records"):
-                by_shard.setdefault(int(rec["shard"]), {})[rec["term"]] = rec
+                shard_rows = by_shard.setdefault(int(rec["shard"]), {})
+                if rec["term"] in shard_rows:
+                    # >1 segment row per (shard, term) means unmerged
+                    # partial indexes — silently keeping one would drop
+                    # postings; merge_indexes first
+                    raise ValueError(
+                        f"duplicate segment row for (shard={rec['shard']}, "
+                        f"term={rec['term']!r}); merge partial indexes before querying"
+                    )
+                shard_rows[rec["term"]] = rec
         for shard, rows in by_shard.items():
             yield _shard_phrase(rows, toks, width)
 

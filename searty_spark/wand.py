@@ -226,7 +226,17 @@ def wand_topk_batch(
         by_shard: dict[int, dict[str, dict]] = {}
         for pdf in batches:
             for rec in pdf.to_dict("records"):
-                by_shard.setdefault(int(rec["shard"]), {})[rec["term"]] = rec
+                shard_rows = by_shard.setdefault(int(rec["shard"]), {})
+                if rec["term"] in shard_rows:
+                    # >1 row per (shard, term) = unmerged partial
+                    # indexes; overwriting would silently drop postings
+                    # (the single-query list path handles them — this
+                    # batch path keys by term and cannot)
+                    raise ValueError(
+                        f"duplicate segment row for (shard={rec['shard']}, "
+                        f"term={rec['term']!r}); merge partial indexes before querying"
+                    )
+                shard_rows[rec["term"]] = rec
         for shard, rows in by_shard.items():
             # decode every needed term once, share across queries
             cache: dict[str, tuple] = {}

@@ -1,0 +1,57 @@
+"""ANN operators: sign-LSH near-dup parity and trained-IVF behavior."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searty_spark import ann
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_lsh_dup_pairs_match_exact(emb):
+    exact = [tuple(r) for r in ann.cosine_dup_pairs(emb, threshold=0.45).collect()]
+    lsh = [tuple(r) for r in ann.cosine_dup_pairs_lsh(emb, threshold=0.45, dim=64).collect()]
+    assert lsh == exact and len(exact) > 0
+
+
+def test_ivf_train_deterministic(emb):
+    c1 = ann.ivf_train(emb, n_cells=16, n_iter=2)
+    c2 = ann.ivf_train(emb, n_cells=16, n_iter=2)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (16, 64)
+    # unit-norm centroids
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_assign_centroids_covers_all(emb):
+    cents = ann.ivf_train(emb, n_cells=16, n_iter=2)
+    a = ann.ivf_assign_centroids(emb, cents)
+    assert a.count() == emb.count()
+    assert a.filter((F.col("cell") < 0) | (F.col("cell") >= 16)).count() == 0
+    # k-means assignment matches a local numpy recomputation
+    rows = emb.select("vec_id", "embedding").collect()
+    v = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    want = {r["vec_id"]: int(c) for r, c in zip(rows, np.argmax(v @ cents.T, axis=1))}
+    got = {r["vec_id"]: r["cell"] for r in a.collect()}
+    assert got == want
+
+
+def test_ivf_topk_trained_recall(emb):
+    """Trained IVF at n_probe=4/16 cells must recover most of the
+    brute-force top-10 (recall floor asserted; exact value reported in
+    BENCH/BASELINE.md)."""
+    cents = ann.ivf_train(emb, n_cells=16, n_iter=2)
+    truth = [r["vec_id"] for r in ann.cosine_topk(emb, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in ann.ivf_topk_trained(emb, 0, cents, k=10, n_probe=4).collect()]
+    recall = len(set(truth) & set(approx)) / 10
+    assert recall >= 0.5, recall
+    # probing every cell is exhaustive -> exact
+    full = [r["vec_id"] for r in ann.ivf_topk_trained(emb, 0, cents, k=10, n_probe=16).collect()]
+    assert full == truth

@@ -52,7 +52,7 @@ def test_build_query_resume_and_merge(spark, corpus, oracle_idx, tmp_path_factor
 
     ckpt = Path(full_dir) / "checkpoint.jsonl"
     units = [json.loads(x)["unit"] for x in ckpt.read_text().splitlines()]
-    assert units == ["docstats", "dictionary"] + [
+    assert units == ["docstats", "symbols", "dictionary"] + [
         f"segments/shards={s}-{s}" for s in range(3)
     ]
 
@@ -87,6 +87,52 @@ def test_build_query_resume_and_merge(spark, corpus, oracle_idx, tmp_path_factor
     for q in ["the", "shared phrase"]:
         got = [(r["doc_id"], r["score"]) for r in query_index(spark, dir_m, q, k=10).collect()]
         assert got == O.bm25_topk(oracle_idx, q, k=10), q
+
+
+def test_merge_dedup_shared_urls(spark, corpus, tmp_path_factory):
+    """Shared-document-identity merge (ref merge.go:137-190): the same
+    url indexed in two partial indexes (a re-crawl, under a DIFFERENT
+    doc_id the second time) merges into one document — byte-identical
+    to a single-shot build over the union-minus-duplicates corpus."""
+    base = tmp_path_factory.mktemp("idx_dedup")
+    a = corpus.filter(F.col("doc_id") < 80)
+    # re-crawl: docs 60..119, re-assigned doc_ids 1060..1119
+    b = corpus.filter(F.col("doc_id") >= 60).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    dir_a, dir_b, dir_m, dir_ss = (str(base / x) for x in ("a", "b", "m", "ss"))
+    write_index(a, dir_a, n_shards=3, n_buckets=8)
+    write_index(b, dir_b, n_shards=3, n_buckets=8)
+    merge_indexes(spark, [dir_a, dir_b], dir_m, dedup_docs=True)
+
+    # single-shot truth: index A's docs win for shared urls, B keeps
+    # only its unique docs (under the re-assigned ids)
+    single = a.unionByName(b.filter(F.col("doc_id") >= 1080))
+    write_index(single, dir_ss, n_shards=3, n_buckets=8)
+
+    assert json.loads((Path(dir_m) / "stats.json").read_text()) == json.loads(
+        (Path(dir_ss) / "stats.json").read_text()
+    )
+    assert _index_content(spark, dir_m) == _index_content(spark, dir_ss)
+
+    ds_m = spark.read.parquet(str(Path(dir_m) / "docstats"))
+    ds_ss = spark.read.parquet(str(Path(dir_ss) / "docstats"))
+    assert sorted(map(tuple, ds_m.collect())) == sorted(map(tuple, ds_ss.collect()))
+
+    # sidecar parity: definitions and entities equal the single-shot set
+    for t in ("symbol_definitions", "symbols", "packages", "package_definitions"):
+        got = sorted(map(tuple, spark.read.parquet(str(Path(dir_m) / t)).collect()))
+        want = sorted(map(tuple, spark.read.parquet(str(Path(dir_ss) / t)).collect()))
+        assert got == want, t
+
+    # identical doc_id + identical url in both inputs also dedups
+    dir_m2 = str(base / "m2")
+    c = corpus.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+    dir_c = str(base / "c")
+    write_index(c, dir_c, n_shards=3, n_buckets=8)
+    merge_indexes(spark, [dir_a, dir_c], dir_m2, dedup_docs=True)
+    ss_a = _index_content(spark, dir_a)
+    assert _index_content(spark, dir_m2) == ss_a
 
 
 def test_merge_rejects_overlapping_docids(spark, corpus, tmp_path_factory):
