@@ -86,6 +86,12 @@ def main():
     stats = load_stats(idx_dir)
     seg = load_segments(spark, idx_dir).repartition(N_SHARDS, "shard").cache()
     seg.count()
+    # query-server shape: the term->df dictionary is loaded once and
+    # kept driver-side (stats-free segments carry no global df)
+    df_map = {
+        r["term"]: r["df_global"]
+        for r in spark.read.parquet(f"{idx_dir}/dictionary").collect()
+    }
     wt = []
     for i in range(N_REPEAT):
         for q in BM25_QUERIES:
@@ -93,6 +99,7 @@ def main():
                 lambda: wand_topk(
                     seg, None, q, k=10,
                     n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
+                    df_lookup=df_map,
                 ).collect()
             )
             if i > 0:
@@ -159,6 +166,7 @@ def main():
         wand_topk(
             seg, None, q, k=10,
             n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
+            df_lookup=df_map,
         ).collect()
         return time.perf_counter() - t0
 
@@ -176,11 +184,13 @@ def main():
 
     qmap = {f"q{i}": q for i, q in enumerate(conc_queries)}
     wand_topk_batch(  # warmup
-        seg, qmap, k=10, n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS
+        seg, qmap, k=10, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+        n_shards=N_SHARDS, df_lookup=df_map,
     ).collect()
     t, _ = timed(
         lambda: wand_topk_batch(
-            seg, qmap, k=10, n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS
+            seg, qmap, k=10, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+            n_shards=N_SHARDS, df_lookup=df_map,
         ).collect()
     )
     extra["batch_wall_8q"] = round(t, 4)

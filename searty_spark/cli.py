@@ -141,6 +141,10 @@ def cmd_bench_queries(args) -> None:
         .cache()
     )
     seg.count()
+    df_map = {
+        r["term"]: r["df_global"]
+        for r in spark.read.parquet(f"{args.index}/dictionary").collect()
+    }
     lats = []
     for i in range(args.repeat):
         for q in args.queries:
@@ -148,7 +152,7 @@ def cmd_bench_queries(args) -> None:
             wand_topk(
                 seg, None, q, k=args.k,
                 n_docs=stats["n_docs"], avgdl=stats["avgdl"],
-                n_shards=stats["n_shards"],
+                n_shards=stats["n_shards"], df_lookup=df_map,
             ).collect()
             if i > 0:
                 lats.append(time.perf_counter() - t0)

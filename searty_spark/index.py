@@ -6,7 +6,11 @@ ref lib/database/database.go:79-105, re-architected so a failed build
 resumes from the last committed unit):
 
     <dir>/docstats/           (doc_id, doc_len) parquet
-    <dir>/dictionary/         (term, token_id, df_global) parquet
+    <dir>/dictionary/         (term, token_id, df_global) parquet —
+                              DERIVED from the segment rows after the
+                              segment stage (segments are stats-free,
+                              so no dictionary pre-pass exists and the
+                              whole build is ONE token pass)
     <dir>/segments/shard=N/bucket=M/   segment rows parquet
                               (token rows shuffle straight from the
                               tokenizer into the segment encoder —
@@ -107,12 +111,18 @@ def write_index(
     # --- stage 1: doc stats (+ global scalars) --------------------------
     if "docstats" not in done:
         t0 = time.perf_counter()
-        ds = doc_stats(corpus, text_col)
+        # one narrow projection, no join: doc_len is an expression over
+        # the text column and key/lang ride along from the same row
         extra = ([F.col(key_col).alias("key")] if key_col else []) + (
             [F.col("lang")] if "lang" in corpus.columns else []
         )
-        if extra:
-            ds = ds.join(corpus.select("doc_id", *extra), "doc_id")
+        ds = corpus.select(
+            "doc_id",
+            F.greatest(F.char_length(F.col(text_col)) - F.lit(2), F.lit(0))
+            .cast("long")
+            .alias("doc_len"),
+            *extra,
+        )
         ds.write.mode("overwrite").parquet(str(out / "docstats"))
         ds2 = spark.read.parquet(str(out / "docstats"))
         row = ds2.agg(
@@ -146,20 +156,32 @@ def write_index(
     if "lang" in corpus.columns and "symbols" not in done:
         t0 = time.perf_counter()
         from searty_spark.symbols import (
+            _definition_sites,
+            _symbol_id,
             package_definitions,
             package_table,
-            symbol_definitions,
-            symbol_table,
         )
 
-        symbol_table(corpus).write.mode("overwrite").parquet(str(out / "symbols"))
-        symbol_definitions(corpus).write.mode("overwrite").parquet(
-            str(out / "symbol_definitions")
+        # derive the definition sites ONCE; both symbol tables project
+        # from the cached result (the explode is the only real work)
+        sites = _definition_sites(corpus).cache()
+        # entity tables are small by construction (distinct symbols /
+        # packages, not per-occurrence rows) — coalesce so local runs
+        # don't write shuffle.partitions-many near-empty files; the
+        # per-occurrence definitions table keeps its partitioning
+        sites.select(
+            _symbol_id().alias("id"), F.col("symbol_name").alias("name"), "package_name"
+        ).distinct().coalesce(4).write.mode("overwrite").parquet(str(out / "symbols"))
+        sites.select(
+            _symbol_id().alias("symbol_id"), "specifier", "doc_id", "position"
+        ).write.mode("overwrite").parquet(str(out / "symbol_definitions"))
+        package_table(corpus).coalesce(1).write.mode("overwrite").parquet(
+            str(out / "packages")
         )
-        package_table(corpus).write.mode("overwrite").parquet(str(out / "packages"))
-        package_definitions(corpus).write.mode("overwrite").parquet(
+        package_definitions(corpus).coalesce(1).write.mode("overwrite").parquet(
             str(out / "package_definitions")
         )
+        sites.unpersist()
         _commit(out_dir, "symbols", wall_sec=time.perf_counter() - t0)
 
     # Web text compresses ~10x in parquet and explodes ~3x at tokenize
@@ -181,25 +203,6 @@ def write_index(
             F.posexplode(trigrams_col(text_col)).alias("pos", "term"),
         )
 
-    # --- stage 2: dictionary (global term df) ---------------------------
-    if "dictionary" not in done:
-        t0 = time.perf_counter()
-        d = (
-            tokens_with_len()
-            .select("term", "doc_id")
-            .distinct()
-            .groupBy("term")
-            .agg(F.count("*").alias("df_global"))
-            .select("term", F.xxhash64("term").alias("token_id"), "df_global")
-        )
-        d.write.mode("overwrite").parquet(str(out / "dictionary"))
-        wall = time.perf_counter() - t0
-        n_terms = spark.read.parquet(str(out / "dictionary")).count()
-        _commit(out_dir, "dictionary", wall_sec=wall, rows=n_terms)
-
-    dstats = spark.read.parquet(str(out / "docstats"))
-    dictionary = spark.read.parquet(str(out / "dictionary"))
-
     # --- stage 3: segments, in resumable shard batches -------------------
     # Default: ONE job covering every shard (dynamic partition
     # overwrite makes the unit write idempotent). shard_batch < n_shards
@@ -220,11 +223,8 @@ def write_index(
         )
         seg = build_segments_from_tokens(
             toks,
-            df_lookup=dictionary.select("term", "df_global"),
             n_shards=n_shards,
             n_buckets=n_buckets,
-            n_docs=stats["n_docs"],
-            avgdl=stats["avgdl"],
         )
         seg.write.partitionBy("shard", "bucket").mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
@@ -240,6 +240,25 @@ def write_index(
             docs_per_sec=n_docs_part / wall if wall else 0.0,
         )
         metrics[unit] = wall
+
+    # --- stage 3: dictionary, DERIVED from the segment rows ---------------
+    # global df of a term = sum of its per-shard dfs (doc sets disjoint);
+    # this aggregates the tiny (n_terms x n_shards) segment-row table, not
+    # the token stream — the second tokenize pass the old design needed is
+    # gone entirely.
+    done = _done_units(out_dir) if resume else set()
+    if "dictionary" not in done:
+        t0 = time.perf_counter()
+        d = (
+            load_segments(spark, out_dir)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df_global"))
+            .select("term", F.xxhash64("term").alias("token_id"), "df_global")
+        )
+        d.write.mode("overwrite").parquet(str(out / "dictionary"))
+        wall = time.perf_counter() - t0
+        n_terms = spark.read.parquet(str(out / "dictionary")).count()
+        _commit(out_dir, "dictionary", wall_sec=wall, rows=n_terms)
     return {"stats": stats, "units": metrics}
 
 
@@ -284,6 +303,7 @@ def query_index(
     if terms:
         buckets = term_buckets(spark, terms, stats["n_buckets"])
         seg = seg.filter(F.col("bucket").isin(buckets))
+    dictionary = spark.read.parquet(str(Path(index_dir) / "dictionary"))
     return wand_topk(
         seg,
         dstats=None,
@@ -292,4 +312,5 @@ def query_index(
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
         n_shards=stats["n_shards"],
+        df_lookup=dictionary,
     )

@@ -10,9 +10,11 @@ Differences from the reference, by design:
   Spark sorts explicitly).
 - No tokenID remapping (ref merge.go:192-238): token identity is the
   term string / its xxhash64, stable across indexes.
-- Global stats change under merge, so per-block max_impact metadata
-  (which bakes in N, avgdl, global df) is recomputed during re-encode.
-  df_global of a merged term = sum of source dfs (doc sets disjoint).
+- Segments are stats-free (block metadata is (max_tf, min_dl), no
+  baked-in df/n_docs/avgdl — see segments.py), so the merge re-encode
+  is a pure concatenation + re-block: no global-stats recompute, no df
+  join. The merged dictionary's df_global is the sum of source dfs
+  (doc sets disjoint), aggregated from the tiny segment-row table.
 
 One shuffle: unioned segment rows group by (shard, bucket); each group
 decodes, concatenates, re-sorts and re-encodes its terms in numpy.
@@ -41,19 +43,17 @@ from searty_spark.segments import (
 )
 
 
-def merge_segment_group(
-    pdf: pd.DataFrame, n_docs: int, avgdl: float
-) -> pd.DataFrame:
+def merge_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """One (shard, bucket) group of unioned segment rows (several rows
     per term, disjoint doc sets) -> merged segment rows.
 
     Per input segment row: decode its arrays once and append them as
     columns (no per-posting Python). The re-sort, duplicate-doc check
-    (ref postinglist.go:96-106) and re-encode under the merged global
-    stats all happen inside encode_segment_rows.
+    (ref postinglist.go:96-106) and re-encode all happen inside
+    encode_segment_rows (stats-free — nothing global to recompute).
     """
     cols: dict[str, list] = {k: [] for k in
-                             ["shard", "bucket", "term", "doc_id", "tf", "doc_len", "df_global"]}
+                             ["shard", "bucket", "term", "doc_id", "tf", "doc_len"]}
     pos_col: list[np.ndarray] = []
     for rec in pdf.to_dict("records"):
         docs, tfs, dls = decode_segment_scores(rec)
@@ -65,13 +65,12 @@ def merge_segment_group(
         cols["doc_id"].append(docs.astype(np.int64))
         cols["tf"].append(tfs.astype(np.int64))
         cols["doc_len"].append(dls.astype(np.int64))
-        cols["df_global"].append(np.full(n, rec["df_global_new"], dtype=np.int64))
         pos_col.extend(plists)
     if not pos_col and not cols["doc_id"]:
         return pd.DataFrame(columns=pd.Index(SEGMENT_COLS))
     flat = pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
     flat["positions"] = pd.Series(pos_col, dtype=object)
-    return encode_segment_rows(flat, n_docs, avgdl)
+    return encode_segment_rows(flat)
 
 
 def _decoded_postings(spark: SparkSession, index_dirs: list[str]) -> DataFrame:
@@ -154,13 +153,11 @@ def merge_indexes(
     for d in index_dirs:
         s = load_segments(spark, d)
         segs = s if segs is None else segs.unionByName(s)
-    dfg = segs.groupBy("term").agg(F.sum("df").cast("long").alias("df_global_new"))
-    joined = segs.join(dfg, "term")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return merge_segment_group(pdf, n_docs, avgdl)
+        return merge_segment_group(pdf)
 
-    merged = joined.groupBy("shard", "bucket").applyInPandas(run, SEGMENT_SCHEMA)
+    merged = segs.groupBy("shard", "bucket").applyInPandas(run, SEGMENT_SCHEMA)
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -183,8 +180,8 @@ def merge_indexes(
         x = spark.read.parquet(str(Path(d) / "docstats"))
         ds = x if ds is None else ds.unionByName(x)
     ds.write.mode("overwrite").parquet(str(out / "docstats"))
-    dct = dfg.select(
-        "term", F.xxhash64("term").alias("token_id"), F.col("df_global_new").alias("df_global")
+    dct = segs.groupBy("term").agg(F.sum("df").cast("long").alias("df_global")).select(
+        "term", F.xxhash64("term").alias("token_id"), "df_global"
     )
     dct.write.mode("overwrite").parquet(str(out / "dictionary"))
 
@@ -249,12 +246,8 @@ def _merge_dedup(
     dfg = flat.groupBy("term").agg(F.count("*").cast("long").alias("df_global"))
     seg = build_segments(
         flat,
-        survivors.select("doc_id", "doc_len"),
         n_shards=n_shards,
         n_buckets=n_buckets,
-        n_docs=n_docs,
-        avgdl=avgdl,
-        df_lookup=dfg,
     )
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -61,13 +61,12 @@ SEGMENTS = T.StructType(
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("df", T.LongType(), False),
-        T.StructField("df_global", T.LongType(), False),
         T.StructField("cf", T.LongType(), False),
         T.StructField("blob", T.BinaryType(), False),
         T.StructField("pos_blob", T.BinaryType(), False),
         T.StructField("block_last_doc", T.ArrayType(T.LongType(), False), False),
         T.StructField("block_max_tf", T.ArrayType(T.IntegerType(), False), False),
-        T.StructField("block_max_impact", T.ArrayType(T.DoubleType(), False), False),
+        T.StructField("block_min_dl", T.ArrayType(T.LongType(), False), False),
         T.StructField("block_offset", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("pos_block_offset", T.ArrayType(T.IntegerType(), False), False),
     ]

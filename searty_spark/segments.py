@@ -21,9 +21,20 @@ at lib/indexer/indexer.go:46-52), re-architected for 10^12 docs:
   * ``pos_blob``  — positions; per block ``n, npos*n, pos_delta*total``
     (deltas restart at each doc; grouped-cumsum decode).
 
-  Per-block metadata: last_doc, max_tf, exact double ``max_impact``
-  (BM25 upper bound with GLOBAL df), byte offsets into both blobs.
-  Bounds are exact maxima, so block skipping never changes the top-k.
+  Per-block metadata: last_doc, max_tf, min_dl, byte offsets into
+  both blobs. Blocks are STATS-FREE: no global statistic (df, n_docs,
+  avgdl) is baked into the segment, so the encoder is a pure function
+  of its postings — the build needs no dictionary pre-pass (ONE
+  tokenize pass total) and a merge re-encodes without recomputing
+  global stats. The query side reconstructs the exact per-block BM25
+  upper bound as idf(df_global) * g(max_tf, min_dl): idf is a per-term
+  positive scalar and g(tf, dl) is increasing in tf / decreasing in
+  dl, so the bound is always valid (never prunes a true top-k doc; it
+  may be slightly looser than the baked-in exact maximum when max_tf
+  and min_dl come from different docs in the block — pruning
+  effectiveness, never correctness, is affected). df_global itself is
+  the sum of the term's per-shard ``df`` column, available at query
+  time from the fetched rows or the dictionary.
 
 Encoding runs in ``applyInPandas`` over (shard, bucket) groups, numpy
 throughout. doc_len rides inside the block so scoring needs no
@@ -43,15 +54,15 @@ from searty_spark.codec import varbyte_decode, varbyte_encode
 BLOCK_SIZE = 128
 
 SEGMENT_SCHEMA = (
-    "shard int, bucket int, term string, df long, df_global long, cf long, "
+    "shard int, bucket int, term string, df long, cf long, "
     "blob binary, pos_blob binary, block_last_doc array<long>, "
-    "block_max_tf array<int>, block_max_impact array<double>, "
+    "block_max_tf array<int>, block_min_dl array<long>, "
     "block_offset array<int>, pos_block_offset array<int>"
 )
 
 SEGMENT_COLS = [
-    "shard", "bucket", "term", "df", "df_global", "cf", "blob", "pos_blob",
-    "block_last_doc", "block_max_tf", "block_max_impact",
+    "shard", "bucket", "term", "df", "cf", "blob", "pos_blob",
+    "block_last_doc", "block_max_tf", "block_min_dl",
     "block_offset", "pos_block_offset",
 ]
 
@@ -150,12 +161,11 @@ def decode_pos_block(part: bytes):
 
 def encode_segment_rows(
     pdf: pd.DataFrame,
-    n_docs: int,
-    avgdl: float,
     block_size: int = BLOCK_SIZE,
 ) -> pd.DataFrame:
     """One (shard, bucket) group of POSTING rows (term, doc_id, tf,
-    positions, doc_len, df_global) -> one output row per term."""
+    positions, doc_len) -> one output row per term. Pure function of
+    its postings (no global stats — see module docstring)."""
     if len(pdf) == 0:
         return pd.DataFrame(columns=pd.Index(SEGMENT_COLS))
     term_codes, term_uniques = pd.factorize(pdf["term"], sort=False)
@@ -183,23 +193,18 @@ def encode_segment_rows(
         docs=pdf["doc_id"].to_numpy()[sorter].astype(np.uint64),
         tfs=pdf["tf"].to_numpy()[sorter].astype(np.uint64),
         dls=pdf["doc_len"].to_numpy()[sorter].astype(np.uint64),
-        dfg=pdf["df_global"].to_numpy()[sorter].astype(np.int64),
         npos=npos,
         flat_pos=flat_pos,
-        n_docs=n_docs,
-        avgdl=avgdl,
         block_size=block_size,
     )
 
 
 def encode_segment_occurrences(
     pdf: pd.DataFrame,
-    n_docs: int,
-    avgdl: float,
     block_size: int = BLOCK_SIZE,
 ) -> pd.DataFrame:
     """One (shard, bucket) group of raw TOKEN OCCURRENCE rows
-    (term, doc_id, pos, doc_len, df_global) -> one output row per term.
+    (term, doc_id, pos, doc_len) -> one output row per term.
 
     This is the zero-intermediate path: token rows shuffle straight
     from the tokenizer to the encoder, which performs the (term, doc)
@@ -224,7 +229,6 @@ def encode_segment_occurrences(
     shards_o = pdf["shard"].to_numpy()[sorter]
     buckets_o = pdf["bucket"].to_numpy()[sorter]
     dls_o = pdf["doc_len"].to_numpy()[sorter].astype(np.uint64)
-    dfg_o = pdf["df_global"].to_numpy()[sorter].astype(np.int64)
     n = docs_o.size
     new_post = np.ones(n, dtype=bool)
     new_post[1:] = (
@@ -242,11 +246,8 @@ def encode_segment_occurrences(
         docs=docs_o[p_starts].astype(np.uint64),
         tfs=npos.astype(np.uint64),
         dls=dls_o[p_starts],
-        dfg=dfg_o[p_starts],
         npos=npos,
         flat_pos=pos_o,
-        n_docs=n_docs,
-        avgdl=avgdl,
         block_size=block_size,
     )
 
@@ -259,11 +260,8 @@ def _encode_flat(
     docs,
     tfs,
     dls,
-    dfg,
     npos,
     flat_pos,
-    n_docs,
-    avgdl,
     block_size,
 ) -> pd.DataFrame:
     """Vectorized core: inputs are POSTING-level arrays already sorted
@@ -298,11 +296,10 @@ def _encode_flat(
     b_starts = np.flatnonzero(new_block)
     b_sizes = np.diff(np.concatenate([b_starts, [m]]))
 
-    # ---- per-row impact + per-block metadata ------------------------------
-    impacts = bm25_impact(tfs, dls, n_docs, avgdl, dfg)
+    # ---- per-block metadata (stats-free bound ingredients) ---------------
     blk_last_doc = docs[np.concatenate([b_starts[1:] - 1, [m - 1]])].astype(np.int64)
     blk_max_tf = np.maximum.reduceat(tfs, b_starts).astype(np.int64)
-    blk_max_imp = np.maximum.reduceat(impacts, b_starts)
+    blk_min_dl = np.minimum.reduceat(dls, b_starts).astype(np.int64)
 
     # ---- score stream: per block [n, doc_delta*n, tf*n, dl*n] -------------
     doc_delta = docs.copy()
@@ -356,7 +353,7 @@ def _encode_flat(
     blk_split = np.cumsum(b_per_term)[:-1]
     last_doc_l = np.split(blk_last_doc, blk_split)
     max_tf_l = np.split(blk_max_tf, blk_split)
-    max_imp_l = np.split(blk_max_imp, blk_split)
+    min_dl_l = np.split(blk_min_dl, blk_split)
     off_l = np.split(blk_byte_off - np.repeat(t_blob_start, b_per_term), blk_split)
     poff_l = np.split(pblk_byte_off - np.repeat(t_pos_start, b_per_term), blk_split)
 
@@ -366,13 +363,12 @@ def _encode_flat(
             "bucket": np.asarray(buckets)[t_starts].astype("int32"),
             "term": term_uniques.take(tcodes[t_starts]),
             "df": t_sizes.astype(np.int64),
-            "df_global": dfg[t_starts],
             "cf": t_cf,
             "blob": [score_buf[int(a) : int(b)] for a, b in zip(t_blob_start, t_blob_end)],
             "pos_blob": [pos_buf[int(a) : int(b)] for a, b in zip(t_pos_start, t_pos_end)],
             "block_last_doc": [x.tolist() for x in last_doc_l],
             "block_max_tf": [x.tolist() for x in max_tf_l],
-            "block_max_impact": [x.tolist() for x in max_imp_l],
+            "block_min_dl": [x.tolist() for x in min_dl_l],
             "block_offset": [x.astype(np.int32).tolist() for x in off_l],
             "pos_block_offset": [x.astype(np.int32).tolist() for x in poff_l],
         },
@@ -416,61 +412,39 @@ def decode_segment_positions(row, blocks=None):
 
 def build_segments(
     postings: DataFrame,
-    dstats: DataFrame,
+    dstats: DataFrame | None = None,
     n_shards: int = 4,
     n_buckets: int = 32,
     block_size: int = BLOCK_SIZE,
-    n_docs: int | None = None,
-    avgdl: float | None = None,
-    df_lookup: DataFrame | None = None,
 ) -> DataFrame:
-    """postings (term, doc_id, tf, positions) + dstats -> segment rows.
-
-    Two shuffles: the global-df aggregation (the dictionary stage of
-    SURVEY.md §3.1) and the (shard, bucket) grouping for encode. The
-    doc_len join is a join on doc_id (sort-merge or broadcast by AQE).
-
-    ``df_lookup`` (term, df_global) overrides the local df computation
-    — REQUIRED when ``postings`` covers only a slice of the corpus
-    (per-shard resumable builds), since idf must use global df.
+    """postings (term, doc_id, tf, positions[, doc_len]) -> segment
+    rows. ONE shuffle (the (shard, bucket) grouping for encode); the
+    doc_len join (only when postings lack the column) is a join on
+    doc_id (sort-merge or broadcast by AQE). Segments are stats-free,
+    so no dictionary/df pre-pass exists anywhere in this plan.
     """
-    if n_docs is None or avgdl is None:
-        row = dstats.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
-        n_docs, avgdl = int(row["n"]), float(row["a"])
-    dfg = (
-        df_lookup
-        if df_lookup is not None
-        else postings.groupBy("term").agg(F.count("*").alias("df_global"))
-    )
     if "doc_len" not in postings.columns:
         postings = postings.join(dstats, "doc_id")
-    with_keys = (
-        postings.join(dfg, "term")
-        .select(
-            F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
-            "term",
-            "doc_id",
-            "tf",
-            "positions",
-            "doc_len",
-            "df_global",
-        )
+    with_keys = postings.select(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "term",
+        "doc_id",
+        "tf",
+        "positions",
+        "doc_len",
     )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_segment_rows(pdf, n_docs, avgdl, block_size)
+        return encode_segment_rows(pdf, block_size)
 
     return with_keys.groupBy("shard", "bucket").applyInPandas(encode, SEGMENT_SCHEMA)
 
 
 def build_segments_from_tokens(
     tokens: DataFrame,
-    df_lookup: DataFrame,
     n_shards: int,
     n_buckets: int,
-    n_docs: int,
-    avgdl: float,
     block_size: int = BLOCK_SIZE,
 ) -> DataFrame:
     """Token-occurrence rows (doc_id, doc_len, pos, term) -> segments,
@@ -479,22 +453,21 @@ def build_segments_from_tokens(
     The tokenizer's output shuffles straight to its (shard, bucket)
     encoder group; the (term, doc) aggregation happens inside the
     vectorized encoder (sort + reduceat) instead of a collect_list —
-    nothing nested ever crosses Arrow. ``df_lookup`` (term, df_global)
-    joins in before the shuffle (broadcast when it fits; at dictionary
-    sizes where it doesn't, Catalyst falls back to a shuffle join and
-    the overall plan is still one wide shuffle of the token stream).
+    nothing nested ever crosses Arrow. Since segments are stats-free,
+    there is no df join here at all: the whole index build is ONE pass
+    over the token stream (the dictionary is derived afterwards from
+    the tiny segment-row table).
     """
-    with_keys = tokens.join(df_lookup, "term").select(
+    with_keys = tokens.select(
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
         "term",
         "doc_id",
         "pos",
         "doc_len",
-        "df_global",
     )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_segment_occurrences(pdf, n_docs, avgdl, block_size)
+        return encode_segment_occurrences(pdf, block_size)
 
     return with_keys.groupBy("shard", "bucket").applyInPandas(encode, SEGMENT_SCHEMA)

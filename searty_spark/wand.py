@@ -19,8 +19,14 @@ intersection — Q4 hook):
 3. global top-k = orderBy(score desc, doc_id) + limit over the union
    of local top-ks (exact: each doc lives in one shard).
 
-The per-block upper bounds are exact double maxima computed at build
-time with global df, so pruning never changes results.
+Per-block upper bounds are reconstructed at query time from the
+stats-free block metadata: bound = idf(df_global) * g(max_tf, min_dl),
+where idf is the term's positive scalar and g is increasing in tf /
+decreasing in dl — always >= every true impact in the block, so
+pruning never changes results. df_global itself is the sum of the
+term's per-shard ``df`` values: either joined in from the dictionary
+(``df_lookup``) or aggregated from the pruned segment rows inside the
+same query plan (no extra job either way).
 """
 
 from __future__ import annotations
@@ -34,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from searty_spark import BM25_B, BM25_K1, NGRAM_N, SCORE_NDIGITS
-from searty_spark.segments import decode_score_block
+from searty_spark.segments import bm25_impact, decode_score_block
 from searty_spark.tokenize import tokenize
 
 
@@ -66,11 +72,25 @@ def _term_scores(row: dict, n_docs: int, avgdl: float, blocks=None):
     return docs.astype(np.int64), _impacts(tfs, dls, n_docs, avgdl, int(row["df_global"]))
 
 
+def _term_upper_bound(row: dict, n_docs: int, avgdl: float) -> float:
+    """Valid per-term impact upper bound from stats-free block
+    metadata (see module docstring)."""
+    return float(
+        bm25_impact(
+            np.asarray(row["block_max_tf"], dtype=np.float64),
+            np.asarray(row["block_min_dl"], dtype=np.float64),
+            n_docs,
+            avgdl,
+            int(row["df_global"]),
+        ).max()
+    )
+
+
 def shard_topk(rows: list[dict], n_docs: int, avgdl: float, k: int) -> pd.DataFrame:
     """Exact MaxScore top-k for one shard's query-term segment rows."""
     if not rows:
         return pd.DataFrame({"doc_id": [], "score": []})
-    ubs = np.array([max(r["block_max_impact"]) for r in rows])
+    ubs = np.array([_term_upper_bound(r, n_docs, avgdl) for r in rows])
     order = np.argsort(-ubs, kind="stable")  # descending upper bound
     rows = [rows[i] for i in order]
     ubs = ubs[order]
@@ -146,6 +166,33 @@ def _topk_frame(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": docs[order].astype(np.int64), "score": r[order]})
 
 
+def _with_df_global(pruned: DataFrame, terms, df_lookup) -> DataFrame:
+    """Attach df_global to the pruned segment rows.
+
+    ``df_lookup`` may be:
+    - a plain ``dict[str, int]`` (term -> global df): the query-server
+      fast path — injected as a literal map, ZERO extra plan nodes or
+      exchanges (a warmed server keeps the hot-term dictionary
+      driver-side; at full dictionary scale it would be an external KV
+      and still not a per-query Spark job);
+    - a DataFrame (term, df_global), e.g. the on-disk dictionary: a
+      tiny pushed-filter scan + broadcast join inside the same job;
+    - None: df_global = sum of the term's per-shard ``df`` aggregated
+      from the pruned rows themselves (general fallback; adds one
+      small exchange).
+    """
+    if isinstance(df_lookup, dict):
+        mapping = F.create_map(
+            *[x for t in terms for x in (F.lit(t), F.lit(int(df_lookup.get(t, 0))))]
+        )
+        return pruned.withColumn("df_global", mapping[F.col("term")])
+    if df_lookup is not None:
+        dfg = df_lookup.select("term", "df_global").filter(F.col("term").isin(list(terms)))
+    else:
+        dfg = pruned.groupBy("term").agg(F.sum("df").cast("long").alias("df_global"))
+    return pruned.join(F.broadcast(dfg), "term")
+
+
 def wand_topk(
     segments: DataFrame,
     dstats: DataFrame,
@@ -156,6 +203,7 @@ def wand_topk(
     avgdl: float | None = None,
     n_buckets: int | None = None,
     n_shards: int | None = None,
+    df_lookup=None,
 ) -> DataFrame:
     """(doc_id, score) exact BM25 top-k from the segment table.
 
@@ -180,6 +228,8 @@ def wand_topk(
             F.col("bucket").isin(term_buckets(spark, terms, n_buckets))
         )
 
+    withg = _with_df_global(pruned, terms, df_lookup)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by_shard: dict[int, list[dict]] = {}
         for pdf in batches:
@@ -189,9 +239,9 @@ def wand_topk(
             yield shard_topk(rows, n_docs, avgdl, k)
 
     rep = (
-        pruned.repartition(n_shards, "shard")
+        withg.repartition(n_shards, "shard")
         if n_shards
-        else pruned.repartition("shard")
+        else withg.repartition("shard")
     )
     local = rep.mapInPandas(run, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -205,6 +255,7 @@ def wand_topk_batch(
     n_docs: int | None = None,
     avgdl: float | None = None,
     n_shards: int | None = None,
+    df_lookup=None,
 ) -> DataFrame:
     """(query_id, doc_id, score) — exact top-k for MANY queries in ONE
     segment scan. Each term's blocks decode once per shard and are
@@ -220,7 +271,9 @@ def wand_topk_batch(
     if not all_terms:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
     assert n_docs is not None and avgdl is not None
-    pruned = segments.filter(F.col("term").isin(all_terms))
+    pruned = _with_df_global(
+        segments.filter(F.col("term").isin(all_terms)), all_terms, df_lookup
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by_shard: dict[int, dict[str, dict]] = {}

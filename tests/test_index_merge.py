@@ -32,10 +32,13 @@ def oracle_idx(corpus):
 
 
 def _index_content(spark, d):
-    """Logical content: {(shard, term): (df, df_global, blob, pos_blob)}."""
+    """Logical content: {(shard, term): (df, blob, pos_blob, block meta)}."""
     rows = load_segments(spark, d).collect()
     return {
-        (r["shard"], r["term"]): (r["df"], r["df_global"], bytes(r["blob"]), bytes(r["pos_blob"]))
+        (r["shard"], r["term"]): (
+            r["df"], bytes(r["blob"]), bytes(r["pos_blob"]),
+            tuple(r["block_max_tf"]), tuple(r["block_min_dl"]),
+        )
         for r in rows
     }
 
@@ -52,9 +55,9 @@ def test_build_query_resume_and_merge(spark, corpus, oracle_idx, tmp_path_factor
 
     ckpt = Path(full_dir) / "checkpoint.jsonl"
     units = [json.loads(x)["unit"] for x in ckpt.read_text().splitlines()]
-    assert units == ["docstats", "symbols", "dictionary"] + [
+    assert units == ["docstats", "symbols"] + [
         f"segments/shards={s}-{s}" for s in range(3)
-    ]
+    ] + ["dictionary"]
 
     # --- resume: drop one shard, rebuild only it, content identical ------
     before = _index_content(spark, full_dir)

@@ -66,13 +66,12 @@ def _segment_frame():
             "tf": [2, 1, 3],
             "positions": [[0, 7], [3], [1, 2, 9]],
             "doc_len": [20, 9, 20],
-            "df_global": [2, 2, 1],
         }
     )
 
 
 def test_encode_segment_rows_and_decode():
-    out = encode_segment_rows(_segment_frame(), n_docs=10, avgdl=15.0, block_size=1)
+    out = encode_segment_rows(_segment_frame(), block_size=1)
     assert sorted(out["term"]) == ["abc", "xyz"]
     abc = out[out["term"] == "abc"].iloc[0]
     assert abc["df"] == 2 and abc["cf"] == 3
@@ -87,13 +86,22 @@ def test_encode_segment_rows_and_decode():
     assert docs_b1.tolist() == [8] and tfs_b1.tolist() == [1]
 
 
-def test_block_max_impact_is_exact_max():
-    out = encode_segment_rows(_segment_frame(), n_docs=10, avgdl=15.0, block_size=128)
+def test_block_bound_metadata_is_valid_upper_bound():
+    """Blocks store stats-free (max_tf, min_dl); the query-time bound
+    idf * g(max_tf, min_dl) must dominate every true impact in the
+    block for ANY global stats (spot-checked over several)."""
+    out = encode_segment_rows(_segment_frame(), block_size=128)
     from searty_spark.segments import bm25_impact
 
     abc = out[out["term"] == "abc"].iloc[0]
-    imp = bm25_impact(np.array([2, 1]), np.array([20, 9]), 10, 15.0, 2)
-    assert abc["block_max_impact"] == [float(imp.max())]
+    assert abc["block_max_tf"] == [2] and abc["block_min_dl"] == [9]
+    for n_docs, avgdl, dfg in [(10, 15.0, 2), (1000, 80.0, 7), (5, 3.0, 1)]:
+        true_imp = bm25_impact(np.array([2, 1]), np.array([20, 9]), n_docs, avgdl, dfg)
+        bound = bm25_impact(
+            np.array(abc["block_max_tf"]), np.array(abc["block_min_dl"]),
+            n_docs, avgdl, dfg,
+        )
+        assert bound.max() >= true_imp.max()
 
 
 @pytest.fixture(scope="module")
@@ -122,9 +130,11 @@ def test_segments_match_postings(small_corpus, oracle_index, seg_df):
     assert got == want
 
 
-def test_segment_df_global_is_global(small_corpus, oracle_index, seg_df):
-    per_term = {}
-    for r in seg_df.select("term", "df_global").collect():
-        per_term.setdefault(r["term"], set()).add(r["df_global"])
-    for t, vals in per_term.items():
-        assert vals == {len(oracle_index.postings[t])}, t
+def test_shard_df_sums_to_global(small_corpus, oracle_index, seg_df):
+    """Global df (what the query side reconstructs) = sum of per-shard
+    dfs — the invariant the stats-free design rests on."""
+    per_term: dict[str, int] = {}
+    for r in seg_df.select("term", "df").collect():
+        per_term[r["term"]] = per_term.get(r["term"], 0) + r["df"]
+    for t, df in per_term.items():
+        assert df == len(oracle_index.postings[t]), t
