@@ -124,13 +124,8 @@ def cmd_describe(args) -> None:
 
 def cmd_bench_queries(args) -> None:
     """Repeated warmed top-k queries -> one JSON line of latencies."""
-    import statistics
-
-    from pyspark.sql import functions as F
-
-    from searty_spark.index import load_segments, load_stats, term_buckets
+    from searty_spark.index import load_segments, load_stats
     from searty_spark.session import get_spark
-    from searty_spark.tokenize import tokenize
     from searty_spark.wand import wand_topk
 
     spark = get_spark(cpus=args.cpus, app_name="searty-bench-queries")

@@ -40,8 +40,6 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searty_spark.build import doc_stats
-
 DEFAULT_SHARDS = 4
 DEFAULT_BUCKETS = 32
 
