@@ -45,6 +45,7 @@ def cmd_build(args) -> None:
         n_buckets=args.buckets,
         resume=not args.no_resume,
         store_docs=args.store_docs,
+        doc_key=args.doc_key,
     )
     print(json.dumps({"wall_sec": time.perf_counter() - t0, **m["stats"]}))
 
@@ -55,7 +56,7 @@ def cmd_merge(args) -> None:
 
     spark = get_spark(cpus=args.cpus, app_name="searty-merge")
     t0 = time.perf_counter()
-    stats = merge_indexes(spark, args.inputs, args.out)
+    stats = merge_indexes(spark, args.inputs, args.out, dedup_docs=args.dedup_docs)
     print(json.dumps({"wall_sec": time.perf_counter() - t0, **stats}))
 
 
@@ -177,11 +178,17 @@ def main(argv=None) -> None:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--store-docs", action="store_true",
                    help="persist (doc_id, url, text) for pretty-printed query results")
+    b.add_argument("--doc-key", default="auto",
+                   help="document-identity column for shared-identity merge "
+                        "(default: auto = url when present; must be UNIQUE per document)")
     b.set_defaults(fn=cmd_build)
 
     m = sub.add_parser("merge")
     m.add_argument("--inputs", nargs="+", required=True)
     m.add_argument("--out", required=True)
+    m.add_argument("--dedup-docs", action="store_true",
+                   help="shared-document-identity merge: dedup by url/source key, "
+                        "keep-first (ref merge.go:137-190 semantics)")
     m.set_defaults(fn=cmd_merge)
 
     q = sub.add_parser("query")

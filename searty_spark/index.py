@@ -85,6 +85,7 @@ def write_index(
     text_col: str = "text",
     shard_batch: int | None = None,
     store_docs: bool = False,
+    doc_key: str | None = "auto",
 ) -> dict:
     """Build the full index with per-unit checkpoints. Returns metrics.
 
@@ -93,6 +94,13 @@ def write_index(
     that its result pretty-printer resolves against
     (lib/searcher/pretty_print.go:43-76). Off by default: at corpus
     scale the source table itself serves that role.
+
+    ``doc_key`` names the DOCUMENT-IDENTITY column (the reference's
+    ``document.filename``) stored in docstats for shared-identity
+    merge. "auto" picks ``url`` when present and nothing otherwise —
+    it deliberately does NOT fall back to categorical columns like
+    ``source`` (a non-unique key would make dedup merge collapse
+    distinct documents). Pass the column name explicitly to override.
     """
     spark = corpus.sparkSession
     out = Path(out_dir)
@@ -104,7 +112,12 @@ def write_index(
 
     # the document-identity key (ref: document.filename) rides along in
     # docstats — it is what shared-identity merge dedups on
-    key_col = next((c for c in ("url", "source") if c in corpus.columns), None)
+    if doc_key == "auto":
+        key_col = "url" if "url" in corpus.columns else None
+    else:
+        key_col = doc_key
+        if key_col is not None and key_col not in corpus.columns:
+            raise ValueError(f"doc_key column {key_col!r} not in corpus")
 
     # --- stage 1: doc stats (+ global scalars) --------------------------
     if "docstats" not in done:

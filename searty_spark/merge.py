@@ -223,7 +223,8 @@ def _merge_dedup(
     if "key" not in ds.columns:
         raise ValueError(
             "dedup_docs=True requires indexes built from a corpus with a "
-            "document key column (url/source) — write_index stores it in docstats"
+            "document-identity key column — pass doc_key to write_index "
+            "(auto-picked only when a url column exists)"
         )
     w = Window.partitionBy("key").orderBy("ord", "doc_id")
     ranked = ds.withColumn("rn", F.row_number().over(w))

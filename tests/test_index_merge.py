@@ -138,6 +138,27 @@ def test_merge_dedup_shared_urls(spark, corpus, tmp_path_factory):
     assert _index_content(spark, dir_m2) == ss_a
 
 
+def test_doc_key_never_falls_back_to_categorical(spark, corpus, tmp_path_factory):
+    """A corpus with only a categorical `source` column (no url) must
+    NOT get an identity key auto-picked — dedup merge on a non-unique
+    key would silently collapse distinct documents (found by a CLI
+    drive: 500 docs -> 20). It must refuse instead, and an explicit
+    doc_key must be honored."""
+    base = tmp_path_factory.mktemp("idx_key")
+    no_url = corpus.withColumnRenamed("url", "source").filter(F.col("doc_id") < 30)
+    d1, d2 = str(base / "k1"), str(base / "k2")
+    write_index(no_url, d1, n_shards=2, n_buckets=4)
+    assert "key" not in spark.read.parquet(d1 + "/docstats").columns
+    with pytest.raises(ValueError, match="key"):
+        merge_indexes(spark, [d1, d1], str(base / "m"), dedup_docs=True)
+
+    # explicit doc_key is honored (source IS unique here — it's the url)
+    write_index(no_url, d2, n_shards=2, n_buckets=4, doc_key="source")
+    assert "key" in spark.read.parquet(d2 + "/docstats").columns
+    with pytest.raises(ValueError, match="not in corpus"):
+        write_index(no_url, str(base / "k3"), doc_key="nope")
+
+
 def test_merge_rejects_overlapping_docids(spark, corpus, tmp_path_factory):
     base = tmp_path_factory.mktemp("idx_overlap")
     d1, d2 = str(base / "x"), str(base / "y")
