@@ -25,12 +25,13 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(path)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -95,3 +96,59 @@ def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``
+    — the custom-stateful-operator shape Structured Streaming can't
+    express with built-in windowed aggs (session identity depends on
+    the PREVIOUS event's time, so per-user state must persist across
+    micro-batches).
+
+    Per user the state is (last_ts_epoch, n_sessions, n_events); each
+    micro-batch folds its events in (ts, event_id) order into the
+    state and emits the user's updated running totals (output mode
+    "update": the LAST row per user is the answer so far). With the
+    whole stream drained, the emitted totals equal the batch
+    ``events.sessionize`` exactly (tested). Assumes batches arrive in
+    non-decreasing time order per user (true for append-only event
+    logs); within a batch order is irrelevant — rows are sorted.
+
+    The in-state fold is vectorized: one diff + compare per batch, no
+    per-event Python.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = gap_minutes * 60.0
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_ts, n_sess, n_ev = state.get if state.exists else (None, 0, 0)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+            ts = (
+                rows["ts"].map(pd.Timestamp.timestamp).to_numpy()
+                if len(rows)
+                else np.empty(0)
+            )
+            # first-ever event compares against -inf -> diff is +inf,
+            # which is > gap, so it opens session 1 with no special case
+            prev = np.concatenate([[last_ts if last_ts is not None else -np.inf], ts[:-1]])
+            n_sess += int((ts - prev > gap).sum())
+            n_ev += int(ts.size)
+            last_ts = float(ts[-1]) if ts.size else last_ts
+            state.update((last_ts, int(n_sess), int(n_ev)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts double, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -65,3 +65,69 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         for r in out.collect()
     }
     assert got == batch
+
+
+def test_sessionize_stream_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: per-user state must carry
+    across micro-batches (3 one-file triggers) and the final running
+    totals must equal the batch lag/islands sessionize."""
+    from searty_spark.events import sessionize
+    from searty_spark.streaming import sessionize_stream
+
+    import shutil as sh
+
+    from pyspark.sql import Window
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path / "ev_sess_stream"
+    d.mkdir()
+    n = events.count()
+    from pyspark.sql import functions as F
+
+    ranked = events.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        chunk_dir = tmp_path / f"chunk{i}"
+        (
+            ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(chunk_dir))
+        )
+        part = next(chunk_dir.glob("part-*.parquet"))
+        sh.copy(part, d / f"part-{i}.parquet")
+
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"]) for r in sessionize(events).collect()
+    }
+
+    from searty_spark.streaming import read_event_stream
+
+    updates: list[tuple[int, list]] = []
+    q = (
+        sessionize_stream(read_event_stream(spark, str(d), max_files_per_trigger=1))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: updates.append((bid, df.collect())))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(updates) >= 3  # the state genuinely crossed micro-batches
+    final: dict = {}
+    touched_twice = 0
+    seen: set = set()
+    for bid, rows in sorted(updates, key=lambda x: x[0]):
+        for r in rows:
+            if r["user_id"] in seen:
+                touched_twice += 1
+            seen.add(r["user_id"])
+            final[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    assert touched_twice > 0  # some user's state was updated in a later batch
+    assert final == batch

@@ -99,6 +99,29 @@ def test_embedding_dup_lsh_has_no_cartesian(spark):
     assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
 
 
+def test_segment_build_is_single_pass_no_join(spark, small_corpus):
+    """The stats-free design's structural guarantee: the segment-build
+    plan contains exactly ONE tokenize explode (Generate) and NO join —
+    no dictionary/df pre-pass, one wide shuffle total."""
+    from pyspark.sql import functions as F
+
+    from searty_spark.segments import build_segments_from_tokens
+    from searty_spark.tokenize import trigrams_col
+
+    toks = small_corpus.select(
+        "doc_id",
+        F.greatest(F.char_length("text") - F.lit(2), F.lit(0)).cast("long").alias("doc_len"),
+        F.posexplode(trigrams_col("text")).alias("pos", "term"),
+    )
+    plan = _plan(build_segments_from_tokens(toks, n_shards=2, n_buckets=4))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") == 1  # exactly one tokenize explode
+    assert "posexplode" in plan
+    assert "Join" not in plan  # no dictionary/df join anywhere
+    # one wide shuffle: the (shard, bucket) grouping for the encoder
+    assert tree.count("Exchange") == 1
+
+
 def test_corpus_filter_pushdown(spark, disk_index):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     q = docs.filter(F.col("doc_id") < 10).select("doc_id", "n_chars")
