@@ -233,6 +233,14 @@ def q_lang_stats(spark, sf):
     return textops.lang_stats(_docs(spark, sf))
 
 
+def q_token_count_bpe(spark, sf):
+    return textops.token_count_bpe(_docs(spark, sf))
+
+
+def q_lang_id(spark, sf):
+    return textops.lang_id(_docs(spark, sf))
+
+
 def q_embedding_topk(spark, sf):
     return ann.cosine_topk(_emb(spark, sf), query_vec_id=0, k=K_BM25)
 
@@ -360,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_stats": q_lang_stats,
+        "token_count_bpe": q_token_count_bpe,
+        "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -564,6 +574,27 @@ FROM t
             "SELECT lang, cast(count(*) AS bigint) AS n_docs, "
             "round(avg(length(text)), 6) AS avg_chars FROM documents GROUP BY lang"
         ),
+        "token_count_bpe": (
+            r"SELECT doc_id, cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bigint)"
+            " AS n_bpe_tokens FROM documents ORDER BY doc_id"
+        ),
+        "lang_id": """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+v AS (SELECT doc_id, text,
+             len(list_filter(toks, x -> x IN ('der','die','und','ist','nicht'))) AS c_de,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS c_en,
+             len(list_filter(toks, x -> x IN ('el','los','que','una','por'))) AS c_es,
+             len(list_filter(toks, x -> x IN ('le','les','des','une','dans'))) AS c_fr
+      FROM t)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN c_de + c_en + c_es + c_fr = 0 THEN 'und'
+            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM v
+""",
         "embedding_topk": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

@@ -53,17 +53,57 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, pred_lang) — charset heuristic language ID: multibyte
-    (octet_length > char_length) => 'cjk', else 'latin'. The synthetic
-    corpora are ASCII so this is exercised by searty_spark's own 'ja'
-    corpus slice in tests."""
+BPE_ISH = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+LANG_STOPWORDS = {
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "es": ["el", "los", "que", "una", "por"],
+    "fr": ["le", "les", "des", "une", "dans"],
+}
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens) — BPE-ish pre-tokenization count: maximal
+    alphanumeric runs plus individual punctuation marks (the shape a
+    GPT-style byte-pair pre-tokenizer produces), via one JVM regexp —
+    the cheap token-budget estimator a training pipeline thresholds
+    on."""
     return docs.select(
         "doc_id",
-        F.when(F.octet_length("text") > F.char_length("text"), "cjk")
-        .otherwise("latin")
-        .alias("pred_lang"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     ).orderBy("doc_id")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — deterministic language-ID heuristic:
+    CJK codepoints => 'zh'; otherwise stopword votes per candidate
+    language, argmax with alphabetical tie-break; no votes => 'und'.
+    Pure JVM expressions, replicated verbatim in the DuckDB oracle.
+    (The synthetic corpus draws every language's text from one shared
+    vocabulary, so prediction accuracy against its lang label is not a
+    meaningful target — the gate checks engine-equivalence of the
+    heuristic.)"""
+    w = words_col()
+
+    def _vote(sw):
+        # nb: the lambda must be unary — F.filter passes the element
+        # index to a second parameter, including defaulted ones
+        return F.size(F.filter(w, lambda x: x.isin(sw)))
+
+    votes = {lang: _vote(sw) for lang, sw in LANG_STOPWORDS.items()}
+    c_de, c_en, c_es, c_fr = votes["de"], votes["en"], votes["es"], votes["fr"]
+    pred = (
+        F.when(F.col("text").rlike("[\u4e00-\u9fff]"), "zh")
+        .when(c_de + c_en + c_es + c_fr == 0, "und")
+        .when((c_de >= c_en) & (c_de >= c_es) & (c_de >= c_fr), "de")
+        .when((c_en >= c_es) & (c_en >= c_fr), "en")
+        .when(c_es >= c_fr, "es")
+        .otherwise("fr")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
 
 
 def lang_stats(docs: DataFrame) -> DataFrame:
