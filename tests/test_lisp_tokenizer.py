@@ -88,3 +88,21 @@ def test_spark_token_rows(spark):
         for term, pos, kind in lisp_tokenize(t):
             want.append((d, term, pos, kind))
     assert rows == sorted(want)
+
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200))
+def test_tokenizer_total_and_monotonic(text):
+    """The lexer must terminate on ANY input, yield strictly increasing
+    positions within bounds, and never emit a token that starts past
+    the end of the input."""
+    toks = lisp_tokenize(text)
+    last = -1
+    for term, pos, kind in toks:
+        assert 0 <= pos < max(len(text), 1)
+        assert pos > last or (pos == 0 and last == -1)
+        last = pos
+        assert isinstance(term, str) and isinstance(kind, str)
