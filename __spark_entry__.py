@@ -217,6 +217,21 @@ def q_simhash_pairs(spark, sf):
     return dedup.simhash_pairs(_docs(spark, sf), max_hamming=8)
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clusters: connected components over the LSH-verified
+    pair graph (iterative min-label propagation in Spark; recursive
+    CTE in the oracle)."""
+    return dedup.dup_clusters(_docs(spark, sf), threshold=JACC_T)
+
+
+def q_clean_corpus(spark, sf):
+    """End-to-end corpus cleaning: quality gate -> exact dedup ->
+    near-dup cluster dedup (keep cluster minimum)."""
+    from searty_spark.pipeline import clean_corpus
+
+    return clean_corpus(_docs(spark, sf))
+
+
 def q_token_count(spark, sf):
     return textops.token_count(_docs(spark, sf))
 
@@ -364,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "clean_corpus": q_clean_corpus,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -417,6 +434,35 @@ d AS (SELECT doc_id, source, cast(p AS bigint) AS position,
       FROM s WHERE p % 5 = 0)
 SELECT doc_id, source, position, specifier, symbol_name, package_name
 FROM d WHERE symbol_name = '{name}'{pkg_pred}
+"""
+
+
+def _components_sql(base_cte: str, threshold: float) -> str:
+    """Recursive-CTE connected components over exact-Jaccard pairs of
+    the docs produced by ``base_cte`` (which must define b(doc_id,
+    toks)). Matches dedup.connected_components over the LSH-verified
+    pairs because LSH recall is 1.0 on the test corpora (the gate
+    checks that recall transitively)."""
+    return f"""
+WITH RECURSIVE
+{base_cte},
+sxp AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i FROM b),
+sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM sxp),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS nc
+  FROM sh a JOIN sh b2 ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2),
+p AS (SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      WHERE round(nc / (sa.n + sb.n - nc), 6) >= {threshold}),
+e AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+reach AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.d AS node, reach.lbl FROM reach JOIN e ON e.s = reach.node),
+comp AS (SELECT node, cast(min(lbl) AS bigint) AS cluster_id FROM reach GROUP BY node)
 """
 
 
@@ -703,6 +749,26 @@ FROM events GROUP BY 1, 2
     # which makes the recall claim itself part of the correctness check.
     out["minhash_pairs"] = out["jaccard_pairs"]
     out["simhash_pairs"] = _simhash_sql(max_hamming=8)
+    out["dedup_clusters"] = (
+        _components_sql(
+            "b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)",
+            JACC_T,
+        )
+        + "SELECT node AS doc_id, cluster_id FROM comp ORDER BY doc_id"
+    )
+    out["clean_corpus"] = (
+        _components_sql(
+            """t0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+q AS (SELECT doc_id, text, toks FROM t0
+      WHERE len(toks) >= 16 AND len(list_distinct(toks)) / len(toks) >= 0.3),
+ke AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1),
+b AS (SELECT q.doc_id, q.toks FROM q JOIN ke ON ke.doc_id = q.doc_id)""",
+            JACC_T,
+        )
+        + """SELECT b.doc_id FROM b
+LEFT JOIN (SELECT node FROM comp WHERE node != cluster_id) dropn ON dropn.node = b.doc_id
+WHERE dropn.node IS NULL ORDER BY doc_id"""
+    )
     # the LSH scale path must reproduce the exact all-pairs result
     # (recall 1.0 + exact verification) — same oracle by construction
     out["embedding_dup_pairs_lsh"] = out["embedding_dup_pairs"]

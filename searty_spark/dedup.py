@@ -279,3 +279,72 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node, cluster_id) — connected components of the near-dup pair
+    graph by iterative min-label propagation: every node repeatedly
+    takes the minimum label among itself and its neighbors until a
+    fixpoint. Converges in O(graph diameter) rounds — near-dup
+    clusters are shallow (pairs/chains of a handful of docs), so this
+    terminates in 2-4 rounds in practice; ``max_iter`` is a safety rail
+    (raises if the fixpoint is not reached, never returns a partial
+    clustering).
+
+    Each round is one shuffle join + aggregation over the EDGE set
+    (not the corpus): at 100 TB the candidate-pair graph is orders of
+    magnitude smaller than the corpus, which is what makes iterative
+    label propagation affordable where it matters.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    # localCheckpoint (not cache) each round: iterative DataFrame
+    # algorithms otherwise nest every prior round's plan inside the
+    # next one — lineage grows exponentially and the driver OOMs just
+    # printing the tree by ~10 iterations
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            new = (
+                labels.join(neigh, "node", "left")
+                .select("node", F.least(F.col("lbl"), F.col("nlbl")).alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels.select("node", F.col("lbl").alias("cluster_id"))
+        raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+    finally:
+        edges.unpersist()
+
+
+def dup_clusters(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFrame:
+    """(doc_id, cluster_id) — near-duplicate clusters: connected
+    components over the MinHash-LSH verified pair graph, labeled by
+    the cluster's minimum doc_id. Docs with no near-duplicate don't
+    appear (singleton clusters are implicit)."""
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, k=k)
+    return (
+        connected_components(pairs.select("doc_a", "doc_b"))
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )

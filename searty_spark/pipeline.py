@@ -1,0 +1,57 @@
+"""End-to-end corpus cleaning — the composite a training-data
+pipeline actually runs, assembled from the gated primitives:
+
+1. quality gate      — token count + lexical diversity thresholds
+                       (textops.quality_score features);
+2. exact dedup       — keep the lowest doc_id per identical text
+                       (dedup.exact_dup_groups semantics);
+3. near-dup dedup    — MinHash-LSH verified pairs over the SURVIVORS
+                       of 1+2, connected components, keep each
+                       cluster's lowest doc_id (dedup.dup_clusters).
+
+Stage order matters and is part of the contract (near-dup clusters are
+computed on the already-quality-filtered, exactly-deduplicated corpus);
+the DuckDB oracle replicates the stages verbatim, including the
+recursive-CTE connected components.
+
+Every stage is one shuffle over progressively smaller data; nothing
+here touches the corpus more than the primitives themselves do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searty_spark.dedup import connected_components, minhash_lsh_pairs
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 16,
+    min_uniq_ratio: float = 0.3,
+    jacc_threshold: float = 0.2,
+) -> DataFrame:
+    """(doc_id) — the surviving documents, ascending."""
+    w = F.split(F.col("text"), " ")
+    q = docs.select(
+        "doc_id",
+        "text",
+        F.size(w).alias("n_tok"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("ur"),
+    )
+    base = q.filter(
+        (F.col("n_tok") >= min_tokens) & (F.col("ur") >= min_uniq_ratio)
+    ).select("doc_id", "text")
+    keep_exact = base.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    base = base.join(keep_exact.select("doc_id"), "doc_id", "left_semi").cache()
+    clusters = connected_components(
+        minhash_lsh_pairs(base, threshold=jacc_threshold).select("doc_a", "doc_b")
+    )
+    drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    out = base.select("doc_id").join(drop, "doc_id", "left_anti").orderBy("doc_id")
+    return out

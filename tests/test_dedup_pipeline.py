@@ -1,0 +1,58 @@
+"""Connected-components clustering + the clean_corpus composite."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searty_spark.dedup import connected_components
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+
+
+def test_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3), island {10, 11}, singleton pair {20, 21}
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_components_star_and_cycle(spark):
+    got = _cc(spark, [(5, 1), (5, 2), (5, 3), (7, 8), (8, 9), (9, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_components_long_chain_converges(spark):
+    n = 12  # diameter 11 < max_iter
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_components_raises_when_not_converged(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_clean_corpus_stages(spark, small_corpus):
+    """Survivors pass the quality gate, contain no exact duplicates,
+    and contain at most one doc per near-dup cluster (its minimum)."""
+    from searty_spark.dedup import dup_clusters
+    from searty_spark.pipeline import clean_corpus
+
+    kept = [r["doc_id"] for r in clean_corpus(small_corpus, min_tokens=4).collect()]
+    assert kept == sorted(kept) and len(kept) > 0
+    survivors = small_corpus.filter(F.col("doc_id").isin(kept))
+    # no exact dup among survivors
+    assert (
+        survivors.groupBy(F.md5("text")).count().filter(F.col("count") > 1).count() == 0
+    )
+    # quality gate honored
+    w = F.split("text", " ")
+    bad = survivors.filter(F.size(w) < 4).count()
+    assert bad == 0
+    # each survivor-cluster is represented only by its minimum
+    cl = dup_clusters(survivors, threshold=0.2)
+    assert cl.filter(F.col("doc_id") != F.col("cluster_id")).count() == 0
