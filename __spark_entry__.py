@@ -232,6 +232,14 @@ def q_clean_corpus(spark, sf):
     return clean_corpus(_docs(spark, sf))
 
 
+def q_sample_corpus(spark, sf):
+    """Deterministic content-hash 10% sample — reproducible training
+    subsets independent of partitioning/engine."""
+    from searty_spark.pipeline import sample_corpus
+
+    return sample_corpus(_docs(spark, sf), pct=10)
+
+
 def q_token_count(spark, sf):
     return textops.token_count(_docs(spark, sf))
 
@@ -381,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
+        "sample_corpus": q_sample_corpus,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -601,6 +610,11 @@ SELECT doc_a, doc_b, round(n_common / (sa.n + sb.n - n_common), 6) AS jacc
 FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {JACC_T}
 """,
+        "sample_corpus": (
+            "SELECT doc_id FROM documents "
+            "WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT * 100 < 10 * 65536 "
+            "ORDER BY doc_id"
+        ),
         "token_count": "SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS n_tokens FROM documents",
         "quality_score": """
 WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks FROM documents)

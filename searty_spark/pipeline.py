@@ -55,3 +55,18 @@ def clean_corpus(
     )
     out = base.select("doc_id").join(drop, "doc_id", "left_anti").orderBy("doc_id")
     return out
+
+
+def sample_corpus(docs: DataFrame, pct: int = 10) -> DataFrame:
+    """(doc_id) — deterministic content-addressed sampling: keep a doc
+    iff the first 4 hex digits of md5(text) fall in the lowest ``pct``
+    percent of the 16-bit space. Unlike rng-based df.sample, the
+    decision is a pure function of content — stable across runs,
+    partitionings and engines (same rows at any cluster size), which
+    is what makes training-data subsets reproducible."""
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long")
+    return (
+        docs.filter(bucket * 100 < F.lit(pct) * 65536)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
