@@ -3,8 +3,9 @@
 Every entry in ``queries()`` is one operator from SURVEY.md §2 (searty
 parity: postings build, dictionary, BM25 top-k, phrase search with
 range coalescing, symbol/filename lookup) or a training-data pipeline
-operator (dedup exact/Jaccard/MinHash/SimHash, ANN brute-force/IVF,
-text analysis, sessionization). ``oracle_sql()`` carries the DuckDB
+operator (dedup exact/Jaccard/MinHash/SimHash/clusters, corpus
+cleaning/sampling, ANN brute-force/LSH/IVF, text analysis,
+sessionization). ``oracle_sql()`` carries the DuckDB
 twin for every query, including SimHash (the md5 bit math is
 replicated in SQL — see ``_simhash_sql``). MinHash output is
 exact-Jaccard-verified with recall 1.0, so it is gated against the
