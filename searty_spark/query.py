@@ -98,7 +98,22 @@ def phrase_match_starts(
     if not toks:
         return spark.createDataFrame([], "doc_id long, rel int")
     qterms = _query_terms_df(spark, toks)
-    occ = postings.filter(F.col("term").isin(sorted(set(toks)))).select(
+    uniq = sorted(set(toks))
+    rows = postings.filter(F.col("term").isin(uniq)).select(
+        "term", "doc_id", "positions"
+    )
+    # conjunctive doc pruning BEFORE the position explode: a match
+    # needs every distinct query term, so docs missing one contribute
+    # nothing — pruning here cuts the explode (the expensive part,
+    # |positions| rows per posting) to the candidate docs only. The
+    # pre-pass itself runs at posting-row granularity (cheap).
+    cand = (
+        rows.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(uniq))
+        .select("doc_id")
+    )
+    occ = rows.join(cand, "doc_id", "left_semi").select(
         "term", "doc_id", F.explode("positions").alias("pos")
     )
     return (
