@@ -244,7 +244,6 @@ def _merge_dedup(
         .join(dropped, ["ord", "doc_id"], "left_anti")
         .drop("ord")
     )
-    dfg = flat.groupBy("term").agg(F.count("*").cast("long").alias("df_global"))
     seg = build_segments(
         flat,
         n_shards=n_shards,
@@ -262,7 +261,11 @@ def _merge_dedup(
     }
     (out / "stats.json").write_text(json.dumps(stats))
     survivors.write.mode("overwrite").parquet(str(out / "docstats"))
-    dfg.select(
+    # dictionary from the tiny MERGED segment-row table on disk — not
+    # from `flat`, which would re-run the whole decode pipeline
+    load_segments(spark, out_dir).groupBy("term").agg(
+        F.sum("df").cast("long").alias("df_global")
+    ).select(
         "term", F.xxhash64("term").alias("token_id"), "df_global"
     ).write.mode("overwrite").parquet(str(out / "dictionary"))
 

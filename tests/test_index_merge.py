@@ -122,6 +122,11 @@ def test_merge_dedup_shared_urls(spark, corpus, tmp_path_factory):
     ds_ss = spark.read.parquet(str(Path(dir_ss) / "docstats"))
     assert sorted(map(tuple, ds_m.collect())) == sorted(map(tuple, ds_ss.collect()))
 
+    for t in ("dictionary",):
+        got = sorted(map(tuple, spark.read.parquet(str(Path(dir_m) / t)).collect()))
+        want = sorted(map(tuple, spark.read.parquet(str(Path(dir_ss) / t)).collect()))
+        assert got == want, t
+
     # sidecar parity: definitions and entities equal the single-shot set
     for t in ("symbol_definitions", "symbols", "packages", "package_definitions"):
         got = sorted(map(tuple, spark.read.parquet(str(Path(dir_m) / t)).collect()))
