@@ -21,15 +21,13 @@ defined semantics for the reference's panic case
 from __future__ import annotations
 
 from collections.abc import Iterator
-from functools import reduce
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from searty_spark import NGRAM_N
-from searty_spark.segments import decode_segment_positions
+from searty_spark.segments import decode_segment_positions, decode_segment_scores
 from searty_spark.tokenize import tokenize
 
 
@@ -49,12 +47,41 @@ def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.Data
     # all-or-nothing within the shard for the conjunction
     if any(t not in rows for t in toks):
         return empty
-    decoded = {t: decode_segment_positions(rows[t]) for t in set(toks)}
-    common = reduce(
-        np.intersect1d, [decoded[t][0].astype(np.int64) for t in dict.fromkeys(toks)]
-    )
-    if common.size == 0:
-        return empty
+
+    def _blocks_for(row: dict, docs: np.ndarray) -> list[int]:
+        """Blocks whose doc range can contain any of ``docs``."""
+        last = np.asarray(row["block_last_doc"], dtype=np.int64)
+        b = np.unique(np.searchsorted(last, docs))
+        return b[b < last.size].tolist()
+
+    # 1) conjunctive doc intersection over the SCORE blobs (cheaper
+    #    than positions), rarest term first, progressively block-pruned
+    #    with block_last_doc — the phrase twin of WAND's block skipping
+    uniq_terms = sorted(set(toks), key=lambda t: rows[t]["df"])
+    common: np.ndarray | None = None
+    for t in uniq_terms:
+        row = rows[t]
+        if common is None:
+            docs, _, _ = decode_segment_scores(row)
+        else:
+            blocks = _blocks_for(row, common)
+            if not blocks:
+                return empty
+            docs, _, _ = decode_segment_scores(row, blocks)
+        common = (
+            docs.astype(np.int64)
+            if common is None
+            else np.intersect1d(common, docs.astype(np.int64))
+        )
+        if common.size == 0:
+            return empty
+
+    # 2) positions decode ONLY for blocks holding surviving candidates
+    decoded = {}
+    for t in uniq_terms:
+        row = rows[t]
+        blocks = _blocks_for(row, common)
+        decoded[t] = decode_segment_positions(row, blocks)
     n_off = len(toks)
     doc_parts: list[np.ndarray] = []
     rel_parts: list[np.ndarray] = []
