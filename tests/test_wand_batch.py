@@ -36,3 +36,24 @@ def test_batch_matches_oracle_per_query(seg, oracle_index):
     for qid, q in QUERIES.items():
         want = O.bm25_topk(oracle_index, q, k=12)
         assert by_q.get(qid, []) == want, f"{qid}: {q!r}"
+
+
+def test_batch_raises_on_duplicate_shard_term_rows(seg):
+    """Unmerged partial indexes (two segment rows per (shard, term))
+    must fail loudly in the batch path — keying by term would silently
+    drop one row's postings."""
+    seg_df, n_docs, avgdl = seg
+    doubled = seg_df.unionByName(seg_df)
+    with pytest.raises(Exception, match="duplicate segment row"):
+        wand_topk_batch(
+            doubled, {"q": "shared phrase"}, k=5, n_docs=n_docs, avgdl=avgdl, n_shards=3
+        ).collect()
+
+
+def test_phrase_seg_raises_on_duplicate_shard_term_rows(seg):
+    from searty_spark.phrase_seg import phrase_ranges_segments
+
+    seg_df, _, _ = seg
+    doubled = seg_df.unionByName(seg_df)
+    with pytest.raises(Exception, match="duplicate segment row"):
+        phrase_ranges_segments(doubled, "shared phrase", n_shards=3).collect()
