@@ -172,6 +172,12 @@ def minhash_lsh_pairs(
     deterministic because candidates are verified exactly.
     """
     rows_per_band = n_perm // n_bands
+    # nb: the shingle relation feeds three consumers (signatures, the
+    # candidate-doc semi-join, the per-pair intersection) and is
+    # deliberately RECOMPUTED for each — measured: localCheckpoint
+    # materialization costs 2.5-3x more than the three codegen'd
+    # re-explodes (21-27 s vs 8.4 s at sf0.1), and caching inside a
+    # library function leaks pinned storage the caller can't release.
     sh = word_shingles(docs, k)
     mins = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(n_perm)
