@@ -265,6 +265,11 @@ def q_lang_id(spark, sf):
     return textops.lang_id(_docs(spark, sf))
 
 
+def q_ngram_counts(spark, sf):
+    """Corpus-level bigram LM counts (non-distinct occurrences)."""
+    return textops.ngram_counts(_docs(spark, sf), n=2, min_count=2)
+
+
 def q_embedding_topk(spark, sf):
     return ann.cosine_topk(_emb(spark, sf), query_vec_id=0, k=K_BM25)
 
@@ -397,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": q_lang_stats,
         "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
+        "ngram_counts": q_ngram_counts,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -616,6 +622,14 @@ WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {JACC_T}
             "WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT * 100 < 10 * 65536 "
             "ORDER BY doc_id"
         ),
+        "ngram_counts": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS ngram
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i FROM t) u)
+SELECT ngram, cast(count(*) AS bigint) AS n_occurrences,
+       cast(count(DISTINCT doc_id) AS bigint) AS n_docs
+FROM g GROUP BY ngram HAVING count(*) >= 2
+""",
         "token_count": "SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS n_tokens FROM documents",
         "quality_score": """
 WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks FROM documents)

@@ -115,3 +115,29 @@ def lang_stats(docs: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
+    """(ngram, n_occurrences, n_docs) — corpus-level word n-gram
+    frequency table (NON-distinct occurrences — the language-model
+    counting semantics, unlike the dedup shingles which are per-doc
+    sets). One explode + one hash aggregation; ``min_count`` prunes the
+    long tail before it is ever shuffled to the output."""
+    toks = words_col()
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), "ngram")
+    )

@@ -56,3 +56,14 @@ def test_clean_corpus_stages(spark, small_corpus):
     # each survivor-cluster is represented only by its minimum
     cl = dup_clusters(survivors, threshold=0.2)
     assert cl.filter(F.col("doc_id") != F.col("cluster_id")).count() == 0
+
+
+def test_sample_corpus_partitioning_invariant(spark, small_corpus):
+    """The content-hash sample must be identical regardless of how the
+    input is partitioned (the docstring's reproducibility claim)."""
+    from searty_spark.pipeline import sample_corpus
+
+    a = [r["doc_id"] for r in sample_corpus(small_corpus, 20).collect()]
+    b = [r["doc_id"] for r in sample_corpus(small_corpus.repartition(13), 20).collect()]
+    c = [r["doc_id"] for r in sample_corpus(small_corpus.coalesce(1), 20).collect()]
+    assert a == b == c and 0 < len(a) < small_corpus.count()
