@@ -141,25 +141,44 @@ def cmd_bench_queries(args) -> None:
         r["term"]: r["df_global"]
         for r in spark.read.parquet(f"{args.index}/dictionary").collect()
     }
+    def one(q: str) -> float:
+        t0 = time.perf_counter()
+        wand_topk(
+            seg, None, q, k=args.k,
+            n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+            n_shards=stats["n_shards"], df_lookup=df_map,
+        ).collect()
+        return time.perf_counter() - t0
+
     lats = []
-    for i in range(args.repeat):
-        for q in args.queries:
-            t0 = time.perf_counter()
-            wand_topk(
-                seg, None, q, k=args.k,
-                n_docs=stats["n_docs"], avgdl=stats["avgdl"],
-                n_shards=stats["n_shards"], df_lookup=df_map,
-            ).collect()
-            if i > 0:
-                lats.append(time.perf_counter() - t0)
+    t_all0 = time.perf_counter()
+    if args.threads > 1:
+        # query-server shape: concurrent requests against one warmed
+        # session (Spark schedules the jobs FIFO across its cores)
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=args.threads) as ex:
+            for i in range(args.repeat):
+                batch = list(ex.map(one, args.queries))
+                if i > 0:
+                    lats.extend(batch)
+    else:
+        for i in range(args.repeat):
+            for q in args.queries:
+                t = one(q)
+                if i > 0:
+                    lats.append(t)
+    wall = time.perf_counter() - t_all0
     lats.sort()
     print(
         json.dumps(
             {
                 "n": len(lats),
+                "threads": args.threads,
                 "p50": lats[len(lats) // 2],
                 "p95": lats[int(len(lats) * 0.95)],
-                "qps": len(lats) / sum(lats),
+                "qps": len(lats) / sum(lats) * args.threads if args.threads > 1 else len(lats) / sum(lats),
+                "wall_sec": wall,
             }
         )
     )
@@ -215,6 +234,8 @@ def main(argv=None) -> None:
         return n
 
     bq.add_argument("--repeat", type=_repeat, default=5)
+    bq.add_argument("--threads", type=int, default=1,
+                    help="concurrent request threads (query-server shape)")
     bq.add_argument("queries", nargs="+")
     bq.set_defaults(fn=cmd_bench_queries)
 
