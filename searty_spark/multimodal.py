@@ -126,3 +126,76 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def audio_chunk_plan(media: DataFrame, window_ms: int = 1000, hop_ms: int = 500) -> DataFrame:
+    """Audio windowing *plan*: one row per (overlapping) chunk to
+    decode — same shuffle-light pattern as frame_sample_plan: the
+    fan-out happens on metadata only, the payload stays in place until
+    a decoder actually needs the chunk."""
+    a = media.filter(F.col("kind") == "audio").select(
+        "media_id", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return a.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(hop_ms))
+        ).alias("chunk_start_ms"),
+    ).select(
+        "media_id",
+        "chunk_start_ms",
+        (F.col("chunk_start_ms") + F.lit(window_ms)).alias("chunk_end_ms"),
+    )
+
+
+def resize_plan(
+    media: DataFrame, max_side: int = 224, deterministic_fake: bool = True
+) -> DataFrame:
+    """Image resize: metadata math (target dims, aspect-preserving) is
+    real JVM SQL; the pixel work is the stubbed decode. Output drops
+    the payload (the resized bytes would be written straight to the
+    sink on a real cluster, never shuffled)."""
+    imgs = media.filter(F.col("kind") == "image")
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    planned = imgs.select(
+        "media_id",
+        "payload",
+        F.round(w * scale).cast("int").alias("out_w"),
+        F.round(h * scale).cast("int").alias("out_h"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real image resize needs PIL — not in this container"
+                )
+            # fake: "resized" byte count derived deterministically
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": pdf["out_w"],
+                    "out_h": pdf["out_h"],
+                    "n_bytes_out": (
+                        pdf["out_w"].astype("int64") * pdf["out_h"].astype("int64") * 3
+                    ),
+                    "ok": True,
+                }
+            )
+
+    return planned.mapInPandas(
+        run, "media_id long, out_w int, out_h int, n_bytes_out long, ok boolean"
+    )
+
+
+def media_exact_dups(media: DataFrame) -> DataFrame:
+    """(sha1, n_items, min_media_id) — exact payload dedup, entirely
+    JVM-side (F.sha1 over the binary column; the payload never reaches
+    Python)."""
+    return (
+        media.groupBy(F.sha1("payload").alias("sha1"))
+        .agg(F.count("*").alias("n_items"), F.min("media_id").alias("min_media_id"))
+        .orderBy("sha1")
+    )

@@ -131,3 +131,51 @@ def test_sessionize_stream_stateful_matches_batch(spark, tmp_path):
             final[r["user_id"]] = (r["n_sessions"], r["n_events"])
     assert touched_twice > 0  # some user's state was updated in a later batch
     assert final == batch
+
+
+def test_audio_chunk_plan_and_resize(spark):
+    from searty_spark.multimodal import (
+        audio_chunk_plan,
+        media_exact_dups,
+        resize_plan,
+        synth_media,
+    )
+    import pytest as _pytest
+
+    media = synth_media(spark, 30).cache()
+    chunks = audio_chunk_plan(media, window_ms=1000, hop_ms=500).collect()
+    assert all(r["chunk_end_ms"] - r["chunk_start_ms"] == 1000 for r in chunks)
+    n_audio = media.filter("kind = 'audio'").count()
+    assert len(chunks) == n_audio * 2  # duration 1000ms, hop 500 -> starts 0, 500
+
+    rs = resize_plan(media, max_side=32).collect()
+    n_img = media.filter("kind = 'image'").count()
+    assert len(rs) == n_img
+    # synth meta is 64x64 -> aspect-preserved to 32x32, payload dropped
+    assert all(r["out_w"] == 32 and r["out_h"] == 32 and r["ok"] for r in rs)
+    assert all(r["n_bytes_out"] == 32 * 32 * 3 for r in rs)
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_plan(media, max_side=32, deterministic_fake=False).collect()
+
+    # payloads are all distinct in synth_media -> every group size 1;
+    # duplicating the frame makes every group size 2
+    d1 = media_exact_dups(media).collect()
+    assert all(r["n_items"] == 1 for r in d1)
+    d2 = media_exact_dups(media.unionByName(media)).collect()
+    assert all(r["n_items"] == 2 for r in d2) and len(d2) == len(d1)
+
+
+def test_media_dedup_plan_is_jvm_side(spark):
+    """The sha1 dedup must stay whole-stage-codegen (no Python in the
+    plan) — media payloads never cross into Python for exact dedup."""
+    from searty_spark.multimodal import media_exact_dups, synth_media
+
+    media = synth_media(spark, 10)
+    q = media_exact_dups(media)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    # the synth source itself is mapInPandas; the dedup section must not
+    # add another Python eval on top of it (tree section lists each
+    # node once; detail sections repeat the name)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1  # only the synthetic source
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
