@@ -308,3 +308,43 @@ def _merge_dedup(
     survivors.unpersist()
     dropped.unpersist()
     return stats
+
+
+def compact_partials(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    fanin: int = 8,
+    dedup_docs: bool = False,
+) -> dict:
+    """Tiered compaction: reduce many partial indexes (e.g. the
+    per-micro-batch outputs of streaming.incremental_index_stream) to
+    one, merging at most ``fanin`` inputs per step — the LSM-style
+    policy that bounds per-merge memory and write amplification when
+    partials arrive continuously. Merging is associative (tested: tree
+    == flat == single-shot), so the tree shape is purely an
+    operational choice.
+
+    Intermediate tiers land under ``<out_dir>.tiers/``; the final tier
+    writes ``out_dir`` itself.
+    """
+    tier = 0
+    dirs = list(index_dirs)
+    while len(dirs) > 1:
+        if len(dirs) <= fanin:
+            merge_indexes(spark, dirs, out_dir, dedup_docs=dedup_docs)
+            return load_stats(out_dir)
+        nxt: list[str] = []
+        for i in range(0, len(dirs), fanin):
+            group = dirs[i : i + fanin]
+            if len(group) == 1:
+                nxt.append(group[0])
+                continue
+            d = f"{out_dir}.tiers/t{tier}_{i // fanin}"
+            merge_indexes(spark, group, d, dedup_docs=dedup_docs)
+            nxt.append(d)
+        dirs = nxt
+        tier += 1
+    # single input: a merge of one is a copy-through merge
+    merge_indexes(spark, dirs, out_dir, dedup_docs=dedup_docs)
+    return load_stats(out_dir)

@@ -173,3 +173,30 @@ def test_merge_rejects_overlapping_docids(spark, corpus, tmp_path_factory):
     with pytest.raises(Exception, match="overlapping"):
         merge_indexes(spark, [d1, d2], str(base / "m"))
         load_segments(spark, str(base / "m")).collect()
+
+
+def test_tiered_compaction_is_associative(spark, corpus, tmp_path_factory):
+    """Tree merge (fanin 2 over 4 partials) == flat merge == single-shot,
+    byte-identical — merge associativity, the property that lets a
+    streaming compactor pick any tier shape."""
+    from searty_spark.merge import compact_partials
+
+    base = tmp_path_factory.mktemp("idx_tiered")
+    quarters = []
+    for i in range(4):
+        d = str(base / f"p{i}")
+        write_index(
+            corpus.filter((F.col("doc_id") % 4) == i), d, n_shards=3, n_buckets=8
+        )
+        quarters.append(d)
+    tree_dir, flat_dir, ss_dir = (str(base / x) for x in ("tree", "flat", "ss"))
+    compact_partials(spark, quarters, tree_dir, fanin=2)
+    merge_indexes(spark, quarters, flat_dir)
+    write_index(corpus, ss_dir, n_shards=3, n_buckets=8)
+
+    ss = _index_content(spark, ss_dir)
+    assert _index_content(spark, tree_dir) == ss
+    assert _index_content(spark, flat_dir) == ss
+    assert json.loads((Path(tree_dir) / "stats.json").read_text()) == json.loads(
+        (Path(ss_dir) / "stats.json").read_text()
+    )
