@@ -51,12 +51,17 @@ def cmd_build(args) -> None:
 
 
 def cmd_merge(args) -> None:
-    from searty_spark.merge import merge_indexes
+    from searty_spark.merge import compact_partials, merge_indexes
     from searty_spark.session import get_spark
 
     spark = get_spark(cpus=args.cpus, app_name="searty-merge")
     t0 = time.perf_counter()
-    stats = merge_indexes(spark, args.inputs, args.out, dedup_docs=args.dedup_docs)
+    if args.fanin and len(args.inputs) > args.fanin:
+        stats = compact_partials(
+            spark, args.inputs, args.out, fanin=args.fanin, dedup_docs=args.dedup_docs
+        )
+    else:
+        stats = merge_indexes(spark, args.inputs, args.out, dedup_docs=args.dedup_docs)
     print(json.dumps({"wall_sec": time.perf_counter() - t0, **stats}))
 
 
@@ -205,6 +210,8 @@ def main(argv=None) -> None:
     m = sub.add_parser("merge")
     m.add_argument("--inputs", nargs="+", required=True)
     m.add_argument("--out", required=True)
+    m.add_argument("--fanin", type=int, default=0,
+                   help="tiered compaction: merge at most N inputs per step (0 = flat merge)")
     m.add_argument("--dedup-docs", action="store_true",
                    help="shared-document-identity merge: dedup by url/source key, "
                         "keep-first (ref merge.go:137-190 semantics)")
