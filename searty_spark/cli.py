@@ -156,24 +156,25 @@ def cmd_bench_queries(args) -> None:
         return time.perf_counter() - t0
 
     lats = []
-    t_all0 = time.perf_counter()
     if args.threads > 1:
         # query-server shape: concurrent requests against one warmed
         # session (Spark schedules the jobs FIFO across its cores)
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=args.threads) as ex:
-            for i in range(args.repeat):
-                batch = list(ex.map(one, args.queries))
-                if i > 0:
-                    lats.extend(batch)
+            list(ex.map(one, args.queries))  # warmup, untimed
+            t_all0 = time.perf_counter()
+            for _ in range(args.repeat - 1):
+                lats.extend(ex.map(one, args.queries))
+            wall = time.perf_counter() - t_all0
     else:
-        for i in range(args.repeat):
+        for q in args.queries:  # warmup, untimed
+            one(q)
+        t_all0 = time.perf_counter()
+        for _ in range(args.repeat - 1):
             for q in args.queries:
-                t = one(q)
-                if i > 0:
-                    lats.append(t)
-    wall = time.perf_counter() - t_all0
+                lats.append(one(q))
+        wall = time.perf_counter() - t_all0
     lats.sort()
     print(
         json.dumps(
@@ -182,7 +183,9 @@ def cmd_bench_queries(args) -> None:
                 "threads": args.threads,
                 "p50": lats[len(lats) // 2],
                 "p95": lats[int(len(lats) * 0.95)],
-                "qps": len(lats) / sum(lats) * args.threads if args.threads > 1 else len(lats) / sum(lats),
+                # honest aggregate throughput: completed timed requests
+                # over the timed wall (warmup excluded)
+                "qps": len(lats) / wall,
                 "wall_sec": wall,
             }
         )

@@ -179,14 +179,7 @@ def minhash_lsh_pairs(
     # re-explodes (21-27 s vs 8.4 s at sf0.1), and caching inside a
     # library function leaks pinned storage the caller can't release.
     sh = word_shingles(docs, k)
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(n_perm)
-    ]
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig"))
-    )
+    sig = minhash_signatures(docs, n_perm, k)  # same lazy plan as sh feeds
     band_structs = F.array(
         *[
             F.struct(

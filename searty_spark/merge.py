@@ -231,8 +231,18 @@ def _merge_dedup(
     survivors = ranked.filter("rn = 1").drop("rn", "ord").cache()
     dropped = ranked.filter("rn > 1").select("ord", "doc_id").cache()
 
-    row = survivors.agg(F.count("*").alias("n"), F.sum("doc_len").alias("s")).collect()[0]
+    row = survivors.agg(
+        F.count("*").alias("n"),
+        F.sum("doc_len").alias("s"),
+        F.count_distinct("doc_id").alias("nd"),
+    ).collect()[0]
     n_docs, sum_dl = int(row["n"]), int(row["s"])
+    if int(row["nd"]) != n_docs:
+        raise ValueError(
+            "surviving documents do not have unique doc_ids — two DISTINCT "
+            "keys share a doc_id across the input indexes; re-key one side "
+            "before a shared-identity merge"
+        )
     avgdl = sum_dl / n_docs
 
     # losers' postings are filtered in row space (keyed by provenance +
@@ -328,6 +338,8 @@ def compact_partials(
     Intermediate tiers land under ``<out_dir>.tiers/``; the final tier
     writes ``out_dir`` itself.
     """
+    if fanin < 2:
+        raise ValueError("fanin must be >= 2 (each step must reduce the input count)")
     tier = 0
     dirs = list(index_dirs)
     while len(dirs) > 1:

@@ -46,7 +46,10 @@ def clean_corpus(
     keep_exact = base.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    base = base.join(keep_exact.select("doc_id"), "doc_id", "left_semi").cache()
+    # no cache: library functions must not pin storage the caller
+    # can't release (see dedup.minhash_lsh_pairs); the recompute is
+    # two codegen'd scans, measured cheaper than materialization
+    base = base.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
     clusters = connected_components(
         minhash_lsh_pairs(base, threshold=jacc_threshold).select("doc_a", "doc_b")
     )

@@ -129,8 +129,11 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+            # truncate to whole epoch seconds — the batch twin compares
+            # cast-to-long seconds, so sub-second timestamps must not
+            # flip a gap decision here either
             ts = (
-                rows["ts"].map(pd.Timestamp.timestamp).to_numpy()
+                np.floor(rows["ts"].map(pd.Timestamp.timestamp).to_numpy())
                 if len(rows)
                 else np.empty(0)
             )

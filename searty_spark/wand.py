@@ -66,10 +66,20 @@ def _decode_blocks(row: dict, blocks) -> tuple[np.ndarray, np.ndarray, np.ndarra
     return np.concatenate(ds), np.concatenate(ts), np.concatenate(ls)
 
 
+def _require_df(row: dict) -> int:
+    v = row["df_global"]
+    if v is None or v != v:  # None or NaN (nulls arrive as NaN via Arrow)
+        raise ValueError(
+            f"df_lookup has no entry for term {row['term']!r}, which has "
+            "postings — the lookup must cover every indexed query term"
+        )
+    return int(row["df_global"])
+
+
 def _term_scores(row: dict, n_docs: int, avgdl: float, blocks=None):
     blocks = blocks if blocks is not None else range(len(row["block_offset"]))
     docs, tfs, dls = _decode_blocks(row, blocks)
-    return docs.astype(np.int64), _impacts(tfs, dls, n_docs, avgdl, int(row["df_global"]))
+    return docs.astype(np.int64), _impacts(tfs, dls, n_docs, avgdl, _require_df(row))
 
 
 def _term_upper_bound(row: dict, n_docs: int, avgdl: float) -> float:
@@ -81,7 +91,7 @@ def _term_upper_bound(row: dict, n_docs: int, avgdl: float) -> float:
             np.asarray(row["block_min_dl"], dtype=np.float64),
             n_docs,
             avgdl,
-            int(row["df_global"]),
+            _require_df(row),
         ).max()
     )
 
@@ -182,8 +192,16 @@ def _with_df_global(pruned: DataFrame, terms, df_lookup) -> DataFrame:
       small exchange).
     """
     if isinstance(df_lookup, dict):
+        # terms absent from the dict map to NULL; if such a term turns
+        # out to HAVE segment rows, the scoring kernel raises rather
+        # than silently over-weighting it with df=0 (a term with no
+        # rows never reaches the kernel, so a FULL dictionary is
+        # always safe even for query terms missing from the corpus)
+        present = [t for t in terms if t in df_lookup]
+        if not present:
+            return pruned.withColumn("df_global", F.lit(None).cast("long"))
         mapping = F.create_map(
-            *[x for t in terms for x in (F.lit(t), F.lit(int(df_lookup.get(t, 0))))]
+            *[x for t in present for x in (F.lit(t), F.lit(int(df_lookup[t])))]
         )
         return pruned.withColumn("df_global", mapping[F.col("term")])
     if df_lookup is not None:

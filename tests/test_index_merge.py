@@ -200,3 +200,10 @@ def test_tiered_compaction_is_associative(spark, corpus, tmp_path_factory):
     assert json.loads((Path(tree_dir) / "stats.json").read_text()) == json.loads(
         (Path(ss_dir) / "stats.json").read_text()
     )
+
+
+def test_compact_partials_rejects_fanin_below_two(spark, tmp_path_factory):
+    from searty_spark.merge import compact_partials
+
+    with pytest.raises(ValueError, match="fanin"):
+        compact_partials(spark, ["a", "b", "c"], "/tmp/nope", fanin=1)

@@ -37,3 +37,24 @@ def test_wand_single_block_size(small_corpus, oracle_index):
     seg_df = build_segments(p, s, n_shards=2, n_buckets=4, block_size=1)
     got = [(r["doc_id"], r["score"]) for r in wand_topk(seg_df, s, "shared phrase", k=5).collect()]
     assert got == O.bm25_topk(oracle_index, "shared phrase", k=5)
+
+
+def test_dict_df_lookup_missing_indexed_term_raises(spark, small_corpus):
+    """A partial df dict that omits a term WITH postings must raise,
+    never silently score it with df=0 (max idf)."""
+    import pytest
+
+    from searty_spark.build import build_postings, doc_stats
+    from searty_spark.segments import build_segments
+    from searty_spark.wand import wand_topk
+
+    p = build_postings(small_corpus, with_doc_len=True)
+    s = doc_stats(small_corpus)
+    row = s.groupBy().agg({"doc_len": "avg", "*": "count"}).collect()[0]
+    seg = build_segments(p, s, n_shards=2, n_buckets=4)
+    with pytest.raises(Exception, match="no entry for term"):
+        wand_topk(
+            seg, None, "shared", k=5,
+            n_docs=int(row["count(1)"]), avgdl=float(row["avg(doc_len)"]),
+            n_shards=2, df_lookup={"zzz": 1},
+        ).collect()
