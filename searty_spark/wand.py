@@ -206,8 +206,11 @@ def _with_df_global(pruned: DataFrame, terms, df_lookup) -> DataFrame:
         return pruned.withColumn("df_global", mapping[F.col("term")])
     if df_lookup is not None:
         dfg = df_lookup.select("term", "df_global").filter(F.col("term").isin(list(terms)))
-    else:
-        dfg = pruned.groupBy("term").agg(F.sum("df").cast("long").alias("df_global"))
+        # LEFT join: a term with postings but no dictionary row must
+        # reach the kernel as null df (-> explicit raise), never be
+        # silently dropped by an inner join (stale/partial dictionary)
+        return pruned.join(F.broadcast(dfg), "term", "left")
+    dfg = pruned.groupBy("term").agg(F.sum("df").cast("long").alias("df_global"))
     return pruned.join(F.broadcast(dfg), "term")
 
 

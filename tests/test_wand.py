@@ -58,3 +58,25 @@ def test_dict_df_lookup_missing_indexed_term_raises(spark, small_corpus):
             n_docs=int(row["count(1)"]), avgdl=float(row["avg(doc_len)"]),
             n_shards=2, df_lookup={"zzz": 1},
         ).collect()
+
+
+def test_dataframe_df_lookup_missing_indexed_term_raises(spark, small_corpus):
+    """A stale dictionary DataFrame missing an indexed term must raise
+    in the kernel, not silently drop the term's postings."""
+    import pytest
+
+    from searty_spark.build import build_postings, doc_stats
+    from searty_spark.segments import build_segments
+    from searty_spark.wand import wand_topk
+
+    p = build_postings(small_corpus, with_doc_len=True)
+    s = doc_stats(small_corpus)
+    row = s.groupBy().agg({"doc_len": "avg", "*": "count"}).collect()[0]
+    seg = build_segments(p, s, n_shards=2, n_buckets=4)
+    stale = spark.createDataFrame([("zzz", 1)], "term string, df_global long")
+    with pytest.raises(Exception, match="no entry for term"):
+        wand_topk(
+            seg, None, "shared", k=5,
+            n_docs=int(row["count(1)"]), avgdl=float(row["avg(doc_len)"]),
+            n_shards=2, df_lookup=stale,
+        ).collect()
