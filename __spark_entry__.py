@@ -95,6 +95,20 @@ def q_postings_check(spark, sf):
     )
 
 
+def q_term_df_hist(spark, sf):
+    """(df, n_terms) — document-frequency histogram of the trigram
+    vocabulary: the Zipf diagnostic that sizes shard/bucket choices
+    (how heavy is the head, how long is the tail)."""
+    p = build_postings(_docs(spark, sf))
+    return (
+        p.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .groupBy("df")
+        .agg(F.count("*").cast("long").alias("n_terms"))
+        .select(F.col("df").cast("long").alias("df"), "n_terms")
+    )
+
+
 def q_doc_stats(spark, sf):
     return doc_stats(_docs(spark, sf))
 
@@ -377,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "postings_check": q_postings_check,
         "doc_stats": q_doc_stats,
+        "term_df_hist": q_term_df_hist,
         "dictionary": q_dictionary,
         "bm25_topk_common": q_bm25_common,
         "bm25_topk_multi": q_bm25_multi,
@@ -573,6 +588,12 @@ SELECT term, doc_id, cast(count(*) AS bigint) AS tf,
 FROM tok GROUP BY term, doc_id
 """,
         "doc_stats": "SELECT doc_id, cast(greatest(length(text) - 2, 0) AS bigint) AS doc_len FROM documents",
+        "term_df_hist": f"""
+WITH tok AS ({_TOK}),
+p AS (SELECT term, doc_id FROM tok GROUP BY 1, 2),
+d AS (SELECT term, count(*) AS df FROM p GROUP BY 1)
+SELECT cast(df AS bigint) AS df, cast(count(*) AS bigint) AS n_terms FROM d GROUP BY df
+""",
         "dictionary": f"""
 WITH tok AS ({_TOK})
 SELECT term, cast(row_number() OVER (ORDER BY term) - 1 AS bigint) AS token_id
