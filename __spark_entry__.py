@@ -32,6 +32,7 @@ Q_PHRASE_PERIODIC = "table table"  # adjacent repeats -> range coalescing
 K_BM25 = 20
 JACC_T = 0.2
 SYMBOL = "key"
+IVF_CELLS, IVF_ITER, IVF_SAMPLE, IVF_PROBE = 32, 2, 4096, 4
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
@@ -299,6 +300,18 @@ def q_embedding_dup_pairs_lsh(spark, sf):
     return ann.cosine_dup_pairs_lsh(_emb(spark, sf), threshold=0.45, dim=64)
 
 
+def q_ivf_topk_trained(spark, sf):
+    """The production IVF shape: deterministic sample k-means codebook
+    (ivf_train) + distributed assignment + n_probe cell search. All
+    assignment/probe decisions compare similarities rounded to 6
+    decimals (ties -> lowest cell), which is what lets an independent
+    DuckDB implementation of the same k-means reach identical cells —
+    the oracle replays the full training loop in SQL."""
+    emb = _emb(spark, sf)
+    cents = ann.ivf_train(emb, n_cells=IVF_CELLS, n_iter=IVF_ITER, sample=IVF_SAMPLE)
+    return ann.ivf_topk_trained(emb, query_vec_id=0, cents=cents, k=10, n_probe=IVF_PROBE)
+
+
 def q_ivf_assign(spark, sf):
     return ann.ivf_assign(_emb(spark, sf), n_cells=32)
 
@@ -423,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_trained": q_ivf_topk_trained,
         "revenue_by_nation": q_revenue_by_nation,
         "customers_without_orders": q_customers_without_orders,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -525,6 +539,72 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 """
+
+
+def _ivf_trained_sql(
+    qid: int = 0,
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    n_iter: int = IVF_ITER,
+    sample: int = IVF_SAMPLE,
+    n_probe: int = IVF_PROBE,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ann.ivf_train + ann.ivf_topk_trained: replays the
+    deterministic sample k-means (init = first n_cells of the lowest
+    ``sample`` vec_ids, ``n_iter`` unrolled assign/update rounds, empty
+    or zero-norm cells keep their previous centroid) and the
+    probe-and-rescore query. Every argmax/probe compares round(sim, 6)
+    with ties to the lowest cell — exactly the engine-agnostic decision
+    rule the numpy side uses, so both reach identical cells even though
+    they sum dot products in different orders."""
+    unit = (
+        "CASE WHEN sqrt(list_dot_product({x}, {x})) > 0 "
+        "THEN list_transform({x}, e -> e / sqrt(list_dot_product({x}, {x}))) "
+        "ELSE {x} END"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"n AS (SELECT vec_id, {unit.format(x='v')} AS v FROM e)",
+        f"s AS (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {sample})",
+        f"sv AS (SELECT vec_id, i AS dim, v[i] AS val FROM s CROSS JOIN generate_series(1, {dim}) AS t(i))",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv "
+        f"FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT {n_cells}))",
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        ctes += [
+            f"a{it} AS (SELECT vec_id, cell FROM ("
+            f"SELECT s.vec_id, c.cell, row_number() OVER (PARTITION BY s.vec_id "
+            f"ORDER BY round(list_dot_product(s.v, c.cv), 6) DESC, c.cell) AS rn "
+            f"FROM s CROSS JOIN {prev} c) WHERE rn = 1)",
+            f"m{it} AS (SELECT a.cell, sv.dim, avg(sv.val) AS mval "
+            f"FROM a{it} a JOIN sv ON sv.vec_id = a.vec_id GROUP BY 1, 2)",
+            f"mc{it} AS (SELECT cell, list(mval ORDER BY dim) AS mv FROM m{it} GROUP BY cell)",
+            f"c{it} AS (SELECT c.cell, CASE WHEN mc.cell IS NOT NULL "
+            f"AND sqrt(list_dot_product(mc.mv, mc.mv)) > 0 "
+            f"THEN list_transform(mc.mv, e -> e / sqrt(list_dot_product(mc.mv, mc.mv))) "
+            f"ELSE c.cv END AS cv FROM {prev} c LEFT JOIN mc{it} mc USING (cell))",
+        ]
+    cf = f"c{n_iter}"
+    ctes += [
+        "assign AS (SELECT vec_id, cell FROM ("
+        "SELECT n.vec_id, c.cell, row_number() OVER (PARTITION BY n.vec_id "
+        f"ORDER BY round(list_dot_product(n.v, c.cv), 6) DESC, c.cell) AS rn "
+        f"FROM n CROSS JOIN {cf} c) WHERE rn = 1)",
+        f"qn AS (SELECT v AS qv FROM n WHERE vec_id = {qid})",
+        f"probe AS (SELECT cell FROM {cf} c CROSS JOIN qn "
+        f"ORDER BY round(list_dot_product(c.cv, qn.qv), 6) DESC, c.cell LIMIT {n_probe})",
+        f"cand AS (SELECT e.vec_id, e.v FROM e JOIN assign USING (vec_id) "
+        f"WHERE assign.cell IN (SELECT cell FROM probe) AND e.vec_id != {qid})",
+        f"qr AS (SELECT v AS qv FROM e WHERE vec_id = {qid})",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, round(list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos\n"
+        f"FROM cand CROSS JOIN qr ORDER BY cos DESC, vec_id LIMIT {k}"
+    )
 
 
 def _bm25_sql(query: str, k: int) -> str:
@@ -822,4 +902,5 @@ WHERE dropn.node IS NULL ORDER BY doc_id"""
     # the LSH scale path must reproduce the exact all-pairs result
     # (recall 1.0 + exact verification) — same oracle by construction
     out["embedding_dup_pairs_lsh"] = out["embedding_dup_pairs"]
+    out["ivf_topk_trained"] = _ivf_trained_sql()
     return out

@@ -86,12 +86,17 @@ def main():
     stats = load_stats(idx_dir)
     seg = load_segments(spark, idx_dir).repartition(N_SHARDS, "shard").cache()
     seg.count()
-    # query-server shape: the term->df dictionary is loaded once and
-    # kept driver-side (stats-free segments carry no global df)
-    df_map = {
-        r["term"]: r["df_global"]
-        for r in spark.read.parquet(f"{idx_dir}/dictionary").collect()
-    }
+    # query-server shape: per-query bounded term->df fetch with a
+    # hot-term cache (TermDfClient) — the full dictionary never moves
+    # to the driver; iteration 0 is the warmup that fills the cache
+    from searty_spark.tokenize import tokenize
+    from searty_spark.wand import TermDfClient
+
+    dic = TermDfClient(spark, idx_dir)
+
+    def df_for(q):
+        return dic.lookup(sorted(set(tokenize(q))))
+
     wt = []
     for i in range(N_REPEAT):
         for q in BM25_QUERIES:
@@ -99,7 +104,7 @@ def main():
                 lambda: wand_topk(
                     seg, None, q, k=10,
                     n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
-                    df_lookup=df_map,
+                    df_lookup=df_for(q),
                 ).collect()
             )
             if i > 0:
@@ -166,7 +171,7 @@ def main():
         wand_topk(
             seg, None, q, k=10,
             n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
-            df_lookup=df_map,
+            df_lookup=df_for(q),
         ).collect()
         return time.perf_counter() - t0
 
@@ -183,6 +188,8 @@ def main():
     from searty_spark.wand import wand_topk_batch
 
     qmap = {f"q{i}": q for i, q in enumerate(conc_queries)}
+    batch_terms = sorted({t for q in conc_queries for t in tokenize(q)})
+    df_map = dic.lookup(batch_terms)
     wand_topk_batch(  # warmup
         seg, qmap, k=10, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
         n_shards=N_SHARDS, df_lookup=df_map,

@@ -77,6 +77,15 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> DataFram
     )
 
 
+def _unit_rows(v: np.ndarray) -> np.ndarray:
+    """Row-normalize, mapping zero-norm rows to the zero vector instead
+    of NaN (cosine against everything is then 0 and argmax over the
+    all-zero similarity row deterministically picks cell 0 — never a
+    silent NaN propagating into argmax/means)."""
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    return v / np.where(norms > 0, norms, 1.0)
+
+
 def _lsh_planes(n_bits: int, dim: int):
     """Deterministic Rademacher (+-1) hyperplanes for sign-LSH.
 
@@ -184,15 +193,18 @@ def ivf_train(
     Determinism: the sample is the ``sample`` lowest vec_ids, the init
     is its first ``n_cells`` vectors, and every update runs in fixed
     numpy order — identical centroids on every run/driver. Empty cells
-    keep their previous centroid."""
+    keep their previous centroid. Assignment decisions compare
+    similarities ROUNDED to 6 decimals (ties -> lowest cell), so they
+    are engine-agnostic: an independent implementation that sums dot
+    products in a different order (the DuckDB oracle does) reaches the
+    same cells, which is what makes the trained path gateable."""
     rows = (
         embeddings.orderBy("vec_id").limit(sample).select("vec_id", "embedding").collect()
     )
-    v = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    v = _unit_rows(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows]))
     cents = v[:n_cells].copy()
     for _ in range(n_iter):
-        sims = v @ cents.T
+        sims = np.round(v @ cents.T, 6)
         assign = np.argmax(sims, axis=1)
         for c in range(n_cells):
             members = v[assign == c]
@@ -213,9 +225,9 @@ def ivf_assign_centroids(embeddings: DataFrame, cents: np.ndarray) -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def best_cell(emb: pd.Series) -> pd.Series:
-        v = np.stack(emb.to_numpy()).astype(np.float64)
-        v = v / np.linalg.norm(v, axis=1, keepdims=True)
-        return pd.Series(np.argmax(v @ c.T, axis=1).astype(np.int64))
+        v = _unit_rows(np.stack(emb.to_numpy()).astype(np.float64))
+        # rounded compare, ties -> lowest cell (see ivf_train docstring)
+        return pd.Series(np.argmax(np.round(v @ c.T, 6), axis=1).astype(np.int64))
 
     return embeddings.select("vec_id", best_cell("embedding").alias("cell"))
 
@@ -231,10 +243,10 @@ def ivf_topk_trained(
     ``n_probe`` cells nearest the query, exact cosine inside them."""
     assign = ivf_assign_centroids(embeddings, cents)
     q_rows = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
-    qv = np.asarray(q_rows[0]["embedding"], dtype=np.float64)
-    qv = qv / np.linalg.norm(qv)
+    qv = _unit_rows(np.asarray(q_rows[0]["embedding"], dtype=np.float64)[None, :])[0]
     c = np.asarray(cents, dtype=np.float64)
-    probe = np.argsort(-(c @ qv))[:n_probe].tolist()
+    # stable sort on rounded sims: ties -> lowest cell (engine-agnostic)
+    probe = np.argsort(-np.round(c @ qv, 6), kind="stable")[:n_probe].tolist()
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb")
     )

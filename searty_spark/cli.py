@@ -129,10 +129,17 @@ def cmd_describe(args) -> None:
 
 
 def cmd_bench_queries(args) -> None:
-    """Repeated warmed top-k queries -> one JSON line of latencies."""
+    """Repeated warmed top-k queries -> one JSON line of latencies.
+
+    The term->df dictionary is fetched per query through TermDfClient
+    (pushed-filter scan of only the query's terms + a driver-side
+    hot-term cache) — never a full-dictionary collect, so the server
+    starts in O(1) regardless of vocabulary size. --full-driver-dict
+    restores the old load-everything behavior for small indexes."""
     from searty_spark.index import load_segments, load_stats
     from searty_spark.session import get_spark
-    from searty_spark.wand import wand_topk
+    from searty_spark.tokenize import tokenize
+    from searty_spark.wand import TermDfClient, wand_topk
 
     spark = get_spark(cpus=args.cpus, app_name="searty-bench-queries")
     stats = load_stats(args.index)
@@ -142,16 +149,21 @@ def cmd_bench_queries(args) -> None:
         .cache()
     )
     seg.count()
-    df_map = {
-        r["term"]: r["df_global"]
-        for r in spark.read.parquet(f"{args.index}/dictionary").collect()
-    }
+    if args.full_driver_dict:
+        dic = TermDfClient(spark, args.index)
+        dic._cache = {
+            r["term"]: int(r["df_global"]) for r in dic._df.collect()
+        }
+    else:
+        dic = TermDfClient(spark, args.index)
+
     def one(q: str) -> float:
         t0 = time.perf_counter()
         wand_topk(
             seg, None, q, k=args.k,
             n_docs=stats["n_docs"], avgdl=stats["avgdl"],
-            n_shards=stats["n_shards"], df_lookup=df_map,
+            n_shards=stats["n_shards"],
+            df_lookup=dic.lookup(sorted(set(tokenize(q)))),
         ).collect()
         return time.perf_counter() - t0
 
@@ -246,6 +258,10 @@ def main(argv=None) -> None:
     bq.add_argument("--repeat", type=_repeat, default=5)
     bq.add_argument("--threads", type=int, default=1,
                     help="concurrent request threads (query-server shape)")
+    bq.add_argument("--full-driver-dict", action="store_true",
+                    help="preload the ENTIRE term->df dictionary to the driver "
+                         "(bounded only for small vocabularies; default is the "
+                         "per-query pushed-filter fetch + hot-term cache)")
     bq.add_argument("queries", nargs="+")
     bq.set_defaults(fn=cmd_bench_queries)
 

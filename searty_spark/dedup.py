@@ -245,7 +245,11 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming, found via
     4x16-bit band join + popcount verification."""
-    fp = simhash_fingerprints(docs).cache()
+    # nb: fp feeds both sides of the band self-join and is deliberately
+    # NOT cached — recomputing the fingerprint UDF once per side is one
+    # md5 pass each, and caching inside a library function leaks pinned
+    # storage the caller can't release (same policy as minhash_lsh_pairs).
+    fp = simhash_fingerprints(docs)
     band_structs = F.array(
         *[
             F.struct(

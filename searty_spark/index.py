@@ -43,6 +43,14 @@ from pyspark.sql import functions as F
 DEFAULT_SHARDS = 4
 DEFAULT_BUCKETS = 32
 
+# On-disk format version, stamped into stats.json. Bump whenever the
+# segment/dictionary layout changes incompatibly (format 1 = round-1
+# indexes with df_global/block_max_impact baked into segments; format 2
+# = stats-free blocks with (block_max_tf, block_min_dl) and a post-hoc
+# dictionary). load_stats fails fast with a rebuild hint instead of
+# letting the query kernels die on a deep KeyError.
+INDEX_FORMAT = 2
+
 
 def term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
     """Buckets of the given terms — computed with the SAME JVM xxhash64
@@ -140,6 +148,7 @@ def write_index(
             F.count("*").alias("n"), F.sum("doc_len").alias("s"), F.avg("doc_len").alias("a")
         ).collect()[0]
         stats = {
+            "format": INDEX_FORMAT,
             "n_docs": int(row["n"]),
             "sum_dl": int(row["s"]),
             "avgdl": float(row["a"]),
@@ -150,7 +159,9 @@ def write_index(
         wall = time.perf_counter() - t0
         _commit(out_dir, "docstats", wall_sec=wall, rows=stats["n_docs"],
                 docs_per_sec=stats["n_docs"] / wall)
-    stats = json.loads((out / "stats.json").read_text())
+    # load_stats (not a raw read) so resuming over a foreign-format
+    # index dir fails fast instead of skipping relocated stages
+    stats = load_stats(out_dir)
 
     if store_docs and "documents" not in done:
         t0 = time.perf_counter()
@@ -278,7 +289,15 @@ def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def load_stats(index_dir: str) -> dict:
-    return json.loads((Path(index_dir) / "stats.json").read_text())
+    stats = json.loads((Path(index_dir) / "stats.json").read_text())
+    fmt = stats.get("format", 1)
+    if fmt != INDEX_FORMAT:
+        raise ValueError(
+            f"index at {index_dir} is on-disk format {fmt}, this build reads "
+            f"format {INDEX_FORMAT} — rebuild it with write_index (or re-merge "
+            "its sources); resuming a foreign-format checkpoint is unsafe"
+        )
+    return stats
 
 
 def query_symbols(spark: SparkSession, index_dir: str, query: str) -> DataFrame:

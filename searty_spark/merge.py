@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searty_spark.index import load_segments, load_stats
+from searty_spark.index import INDEX_FORMAT, load_segments, load_stats
 from searty_spark.segments import (
     SEGMENT_COLS,
     SEGMENT_SCHEMA,
@@ -166,6 +166,7 @@ def merge_indexes(
         str(out / "segments")
     )
     stats = {
+        "format": INDEX_FORMAT,
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": avgdl,
@@ -175,9 +176,19 @@ def merge_indexes(
     (out / "stats.json").write_text(json.dumps(stats))
 
     # docstats + dictionary follow by union / re-aggregation
+    parts = {d: spark.read.parquet(str(Path(d) / "docstats")) for d in index_dirs}
+    if len({tuple(sorted(x.columns)) for x in parts.values()}) > 1:
+        # fail with the actionable cause BEFORE unionByName's raw
+        # AnalysisException: the usual mismatch is one index built with
+        # a doc_key (docstats has key/lang) and one without
+        raise ValueError(
+            "docstats schemas differ across the inputs — every index in a "
+            "merge must be built with the same doc_key/lang columns: "
+            + "; ".join(f"{d}: {sorted(x.columns)}" for d, x in parts.items())
+        )
     ds = None
     for d in index_dirs:
-        x = spark.read.parquet(str(Path(d) / "docstats"))
+        x = parts[d]
         ds = x if ds is None else ds.unionByName(x)
     ds.write.mode("overwrite").parquet(str(out / "docstats"))
     dct = segs.groupBy("term").agg(F.sum("df").cast("long").alias("df_global")).select(
@@ -216,9 +227,16 @@ def _merge_dedup(
 
     from searty_spark.segments import build_segments
 
+    parts = {d: spark.read.parquet(str(Path(d) / "docstats")) for d in index_dirs}
+    if len({tuple(sorted(x.columns)) for x in parts.values()}) > 1:
+        raise ValueError(
+            "docstats schemas differ across the inputs — every index in a "
+            "merge must be built with the same doc_key/lang columns: "
+            + "; ".join(f"{d}: {sorted(x.columns)}" for d, x in parts.items())
+        )
     ds = None
     for i, d in enumerate(index_dirs):
-        x = spark.read.parquet(str(Path(d) / "docstats")).withColumn("ord", F.lit(i))
+        x = parts[d].withColumn("ord", F.lit(i))
         ds = x if ds is None else ds.unionByName(x)
     if "key" not in ds.columns:
         raise ValueError(
@@ -263,6 +281,7 @@ def _merge_dedup(
     out.mkdir(parents=True, exist_ok=True)
     seg.write.partitionBy("shard", "bucket").mode("overwrite").parquet(str(out / "segments"))
     stats = {
+        "format": INDEX_FORMAT,
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": avgdl,

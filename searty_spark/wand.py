@@ -96,10 +96,39 @@ def _term_upper_bound(row: dict, n_docs: int, avgdl: float) -> float:
     )
 
 
+def _check_duplicate_term_rows(rows: list[dict], n_docs: int, avgdl: float) -> None:
+    """Duplicate (shard, term) rows come from unmerged partial indexes.
+    Summing their impacts is exact BM25 only while each duplicate's doc
+    set is disjoint (impact(tf1)+impact(tf2) != impact(tf1+tf2)); an
+    overlapping doc would be silently mis-scored, so verify
+    disjointness and raise — the symmetric guard to the
+    wand_topk_batch / phrase path raises."""
+    from collections import Counter
+
+    counts = Counter(r["term"] for r in rows)
+    for term, n in counts.items():
+        if n < 2:
+            continue
+        all_docs = np.concatenate(
+            [_term_scores(r, n_docs, avgdl)[0] for r in rows if r["term"] == term]
+        )
+        if np.unique(all_docs).size != all_docs.size:
+            raise ValueError(
+                f"duplicate segment rows for term {term!r} share doc_ids — "
+                "unmerged partial indexes overlap; merge them before querying"
+            )
+
+
 def shard_topk(rows: list[dict], n_docs: int, avgdl: float, k: int) -> pd.DataFrame:
-    """Exact MaxScore top-k for one shard's query-term segment rows."""
+    """Exact MaxScore top-k for one shard's query-term segment rows.
+
+    Duplicate (shard, term) rows (unmerged partial indexes) are
+    accepted when their doc sets are disjoint — then per-row scoring
+    sums to exact BM25 — and rejected otherwise."""
     if not rows:
         return pd.DataFrame({"doc_id": [], "score": []})
+    if len({r["term"] for r in rows}) != len(rows):
+        _check_duplicate_term_rows(rows, n_docs, avgdl)
     ubs = np.array([_term_upper_bound(r, n_docs, avgdl) for r in rows])
     order = np.argsort(-ubs, kind="stable")  # descending upper bound
     rows = [rows[i] for i in order]
@@ -174,6 +203,39 @@ def _topk_frame(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
     r = np.round(scores, SCORE_NDIGITS)
     order = np.lexsort((docs, -r))[:k]
     return pd.DataFrame({"doc_id": docs[order].astype(np.int64), "score": r[order]})
+
+
+class TermDfClient:
+    """Bounded per-query term->df_global fetch against the on-disk
+    dictionary, with a driver-side hot-term cache — the query-server
+    deployment shape. The full trigram dictionary never moves to the
+    driver (at web scale it's 10^8+ rows); each query fetches only its
+    own few terms via a pushed-filter parquet scan, and repeated terms
+    hit the cache, so a warmed server pays zero per-query fetch jobs.
+    ``lookup(terms)`` returns a plain dict usable as ``df_lookup`` —
+    terms absent from the dictionary are omitted, which is safe: the
+    dictionary is derived from the segment rows, so an absent term has
+    no postings and never reaches the scoring kernel."""
+
+    _ABSENT = object()
+
+    def __init__(self, spark, index_dir: str):
+        self._df = spark.read.parquet(f"{index_dir}/dictionary").select(
+            "term", "df_global"
+        )
+        self._cache: dict[str, object] = {}
+
+    def lookup(self, terms) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._cache]
+        if missing:
+            rows = self._df.filter(F.col("term").isin(missing)).collect()
+            for r in rows:
+                self._cache[r["term"]] = int(r["df_global"])
+            for t in missing:
+                self._cache.setdefault(t, self._ABSENT)
+        return {
+            t: v for t in terms if (v := self._cache.get(t)) is not self._ABSENT
+        }
 
 
 def _with_df_global(pruned: DataFrame, terms, df_lookup) -> DataFrame:

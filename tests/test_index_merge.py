@@ -207,3 +207,31 @@ def test_compact_partials_rejects_fanin_below_two(spark, tmp_path_factory):
 
     with pytest.raises(ValueError, match="fanin"):
         compact_partials(spark, ["a", "b", "c"], "/tmp/nope", fanin=1)
+
+
+def test_load_stats_rejects_foreign_format(tmp_path):
+    """A round-1 on-disk index (no format stamp) must fail fast with a
+    rebuild hint, not die on a deep KeyError in the Arrow kernel."""
+    from searty_spark.index import load_stats
+
+    (tmp_path / "stats.json").write_text(
+        json.dumps({"n_docs": 5, "sum_dl": 50, "avgdl": 10.0, "n_shards": 2, "n_buckets": 4})
+    )
+    with pytest.raises(ValueError, match="format 1"):
+        load_stats(str(tmp_path))
+
+
+def test_merge_rejects_mismatched_docstats_schemas(spark, corpus, tmp_path_factory):
+    """Merging an index built WITH a doc_key with one built WITHOUT
+    must raise a clear ValueError pointing at the column mismatch, not
+    unionByName's raw AnalysisException."""
+    base = tmp_path_factory.mktemp("idx_schema")
+    with_key = corpus.filter(F.col("doc_id") < 20)
+    without_key = corpus.filter(F.col("doc_id") >= 100).drop("url")
+    d1, d2 = str(base / "w"), str(base / "wo")
+    write_index(with_key, d1, n_shards=2, n_buckets=4)
+    write_index(without_key, d2, n_shards=2, n_buckets=4)
+    with pytest.raises(ValueError, match="docstats schemas differ"):
+        merge_indexes(spark, [d1, d2], str(base / "m"))
+    with pytest.raises(ValueError, match="docstats schemas differ"):
+        merge_indexes(spark, [d1, d2], str(base / "m2"), dedup_docs=True)

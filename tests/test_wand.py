@@ -80,3 +80,43 @@ def test_dataframe_df_lookup_missing_indexed_term_raises(spark, small_corpus):
             n_docs=int(row["count(1)"]), avgdl=float(row["avg(doc_len)"]),
             n_shards=2, df_lookup=stale,
         ).collect()
+
+
+def test_duplicate_term_rows_disjoint_sum_overlap_raise(spark, small_corpus, oracle_index):
+    """Unmerged partial indexes: duplicate (shard, term) segment rows
+    with DISJOINT doc sets score exactly (per-row impacts sum to true
+    BM25); rows sharing a doc_id must raise, never silently score
+    impact(tf1)+impact(tf2) instead of impact(tf1+tf2)."""
+    from pyspark.sql import functions as F
+
+    from searty_spark.build import build_postings, doc_stats
+    from searty_spark.segments import build_segments
+    from searty_spark.wand import wand_topk
+
+    s = doc_stats(small_corpus)
+    row = s.groupBy().agg({"doc_len": "avg", "*": "count"}).collect()[0]
+    n_docs, avgdl = int(row["count(1)"]), float(row["avg(doc_len)"])
+
+    halves = [
+        build_segments(
+            build_postings(small_corpus.filter(pred), with_doc_len=True),
+            None, n_shards=2, n_buckets=4,
+        )
+        for pred in (F.col("doc_id") < 75, F.col("doc_id") >= 75)
+    ]
+    union = halves[0].unionByName(halves[1])
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(
+            union, None, "shared phrase", k=10,
+            n_docs=n_docs, avgdl=avgdl, n_shards=2,
+        ).collect()
+    ]
+    assert got == O.bm25_topk(oracle_index, "shared phrase", k=10)
+
+    overlapping = halves[0].unionByName(halves[0])
+    with pytest.raises(Exception, match="share doc_ids"):
+        wand_topk(
+            overlapping, None, "shared phrase", k=10,
+            n_docs=n_docs, avgdl=avgdl, n_shards=2,
+        ).collect()
