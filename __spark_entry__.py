@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from searty_spark import ann, dedup, events, textops
 from searty_spark.build import build_postings, doc_stats, term_dictionary, token_rows
-from searty_spark.query import bm25_topk, phrase_match_ranges, phrase_search
+from searty_spark.query import (
+    bm25_topk,
+    phrase_bm25_topk,
+    phrase_match_ranges,
+    phrase_search,
+)
 from searty_spark.tokenize import tokenize
 
 # --- fixed query literals (probed to exist in the synthetic corpus) ---
@@ -169,6 +174,25 @@ def q_phrase_ranges(spark, sf):
         "doc_id",
         F.col("start").cast("long").alias("start_pos"),
         F.col("end").cast("long").alias("end_pos"),
+    )
+
+
+def q_phrase_bm25(spark, sf):
+    """Ranked phrase search (the real search-UI query shape): phrase
+    matching + BM25 ranking + occurrence counts, DataFrame path."""
+    docs = _docs(spark, sf)
+    return phrase_bm25_topk(build_postings(docs), doc_stats(docs), Q_PHRASE, k=K_BM25)
+
+
+def q_phrase_bm25_seg(spark, sf):
+    """Segment-path twin of phrase_bm25 — same composed oracle."""
+    from searty_spark.phrase_seg import phrase_bm25_topk_segments
+
+    s = doc_stats(_docs(spark, sf))
+    row = s.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    return phrase_bm25_topk_segments(
+        _segments(spark, sf), Q_PHRASE, k=K_BM25,
+        n_docs=int(row["n"]), avgdl=float(row["a"]),
     )
 
 
@@ -390,6 +414,58 @@ def q_sessionize(spark, sf):
     return events.sessionize(_events(spark, sf), gap_minutes=30)
 
 
+def q_sessionize_stream(spark, sf):
+    """Stateful streaming sessionization (applyInPandasWithState)
+    driven over a file-backed stream of the events table and drained
+    synchronously; per-user running totals are monotone, so the final
+    state is the max over the update-mode emissions. Gated against the
+    SAME oracle SQL as the batch twin."""
+    from searty_spark.streaming import read_event_stream, sessionize_stream
+
+    _ensure_shipped(spark)
+    ev = read_event_stream(spark, f"{sf}/events.parquet", max_files_per_trigger=1)
+    upd = sessionize_stream(ev, gap_minutes=30)
+    q = (
+        upd.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("gate_sessionize_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.sql("SELECT * FROM gate_sessionize_stream")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
+
+
+def q_windowed_counts_stream(spark, sf):
+    """Watermarked tumbling-window streaming counts over the same
+    file-backed event stream, drained to completion — gated against the
+    batch windowed_counts oracle SQL."""
+    from searty_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        windowed_counts_stream,
+    )
+
+    _ensure_shipped(spark)
+    ev = read_event_stream(spark, f"{sf}/events.parquet")
+    res = run_stream_to_memory(windowed_counts_stream(ev), "gate_windowed_stream")
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def q_windowed_counts(spark, sf):
     return events.windowed_counts(_events(spark, sf)).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -412,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_ranges": q_phrase_ranges,
         "bm25_topk_wand": q_bm25_wand,
         "phrase_ranges_seg": q_phrase_ranges_seg,
+        "phrase_bm25": q_phrase_bm25,
+        "phrase_bm25_seg": q_phrase_bm25_seg,
         "symbol_lookup": q_symbol_lookup,
         "symbol_defs": q_symbol_defs,
         "symbol_defs_bare": q_symbol_defs_bare,
@@ -443,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_rollup": q_lang_source_rollup,
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
+        "sessionize_stream": q_sessionize_stream,
+        "windowed_counts_stream": q_windowed_counts_stream,
     }
 
 
@@ -607,6 +687,39 @@ def _ivf_trained_sql(
     )
 
 
+def _phrase_bm25_sql(q: str, k: int) -> str:
+    """Composed oracle for the ranked-phrase queries: exact substring
+    occurrence counts joined with the BM25 score over the phrase's
+    trigrams (global df), ranked (round(score,6) DESC, doc_id)."""
+    ln = len(q)
+    lit = q.replace("'", "''")
+    terms = sorted(set(tokenize(q)))
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH m AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS n_matches
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - {ln} + 1, 0))) AS i
+        FROM documents) u
+  WHERE substring(text, i, {ln}) = '{lit}' GROUP BY doc_id),
+tok AS ({_TOK}),
+p AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN ({tlist}) GROUP BY 1, 2),
+dl AS (SELECT doc_id, greatest(length(text) - 2, 0) AS doc_len FROM documents),
+c AS (SELECT count(*) AS n_docs, avg(greatest(length(text) - 2, 0)) AS avgdl FROM documents),
+dfq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+s AS (
+  SELECT p.doc_id,
+         sum( ln((c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * p.tf * 2.2
+              / (p.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / c.avgdl)) ) AS raw
+  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+  GROUP BY 1)
+SELECT s.doc_id, round(raw, 6) AS score, m.n_matches
+FROM s JOIN m USING (doc_id)
+ORDER BY round(raw, 6) DESC, s.doc_id LIMIT {k}
+"""
+
+
 def _bm25_sql(query: str, k: int) -> str:
     terms = sorted(set(tokenize(query)))
     tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
@@ -682,6 +795,8 @@ FROM (SELECT DISTINCT term FROM tok) d
         "bm25_topk_common": _bm25_sql(Q_BM25_COMMON, K_BM25),
         "bm25_topk_multi": _bm25_sql(Q_BM25_MULTI, K_BM25),
         "bm25_topk_wand": _bm25_sql(Q_BM25_COMMON, K_BM25),
+        "phrase_bm25": _phrase_bm25_sql(Q_PHRASE, K_BM25),
+        "phrase_bm25_seg": _phrase_bm25_sql(Q_PHRASE, K_BM25),
         "phrase_ranges_seg": _phrase_ranges_sql(Q_PHRASE_PERIODIC),
         "phrase_search": (
             f"SELECT doc_id FROM documents WHERE contains(text, '{Q_PHRASE}') ORDER BY doc_id"
@@ -903,4 +1018,7 @@ WHERE dropn.node IS NULL ORDER BY doc_id"""
     # (recall 1.0 + exact verification) — same oracle by construction
     out["embedding_dup_pairs_lsh"] = out["embedding_dup_pairs"]
     out["ivf_topk_trained"] = _ivf_trained_sql()
+    # the streaming twins must drain to exactly the batch answers
+    out["sessionize_stream"] = out["sessionize"]
+    out["windowed_counts_stream"] = out["windowed_counts"]
     return out

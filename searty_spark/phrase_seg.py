@@ -31,8 +31,19 @@ from searty_spark.segments import decode_segment_positions, decode_segment_score
 from searty_spark.tokenize import tokenize
 
 
-def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.DataFrame:
-    """rows: term -> segment row dict. Returns (doc_id, start, end).
+def _blocks_for(row: dict, docs: np.ndarray) -> list[int]:
+    """Blocks whose doc range can contain any of ``docs``."""
+    last = np.asarray(row["block_last_doc"], dtype=np.int64)
+    b = np.unique(np.searchsorted(last, docs))
+    return b[b < last.size].tolist()
+
+
+def _shard_match_starts(
+    rows: dict[str, dict], toks: list[str]
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """rows: term -> segment row dict. Returns (doc_ids, starts) of
+    every phrase match start in this shard, sorted by (doc, start), or
+    None when the shard has no match.
 
     Fully vectorized: no Python loop scales with the number of
     candidate docs or matches. The per-offset (doc, rel) pair streams
@@ -40,19 +51,10 @@ def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.Data
     occurs in all len(toks) offset streams (the count-distinct-offsets
     trick of query.py, here as one lexsort + run-length count — pairs
     are unique within an offset because positions are unique per doc).
-    Range coalescing exploits that every range has the same width, so
-    ends ascend with starts and an island boundary is simply
-    ``start > previous end`` within a doc."""
-    empty = pd.DataFrame({"doc_id": [], "start": [], "end": []})
+    """
     # all-or-nothing within the shard for the conjunction
     if any(t not in rows for t in toks):
-        return empty
-
-    def _blocks_for(row: dict, docs: np.ndarray) -> list[int]:
-        """Blocks whose doc range can contain any of ``docs``."""
-        last = np.asarray(row["block_last_doc"], dtype=np.int64)
-        b = np.unique(np.searchsorted(last, docs))
-        return b[b < last.size].tolist()
+        return None
 
     # 1) conjunctive doc intersection over the SCORE blobs (cheaper
     #    than positions), rarest term first, progressively block-pruned
@@ -66,7 +68,7 @@ def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.Data
         else:
             blocks = _blocks_for(row, common)
             if not blocks:
-                return empty
+                return None
             docs, _, _ = decode_segment_scores(row, blocks)
         common = (
             docs.astype(np.int64)
@@ -74,7 +76,7 @@ def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.Data
             else np.intersect1d(common, docs.astype(np.int64))
         )
         if common.size == 0:
-            return empty
+            return None
 
     # 2) positions decode ONLY for blocks holding surviving candidates
     decoded = {}
@@ -104,8 +106,21 @@ def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.Data
     counts = np.diff(np.append(grp_start, d_s.size))
     keep = grp_start[counts == n_off]
     if keep.size == 0:
+        return None
+    return d_s[keep], r_s[keep]  # sorted by (doc, start)
+
+
+def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.DataFrame:
+    """(doc_id, start, end) coalesced ranges for one shard.
+
+    Range coalescing exploits that every range has the same width, so
+    ends ascend with starts and an island boundary is simply
+    ``start > previous end`` within a doc."""
+    empty = pd.DataFrame({"doc_id": [], "start": [], "end": []})
+    m = _shard_match_starts(rows, toks)
+    if m is None:
         return empty
-    docs_m, starts_m = d_s[keep], r_s[keep]  # sorted by (doc, start)
+    docs_m, starts_m = m
     ends_m = starts_m + width
     island = np.empty(docs_m.size, dtype=bool)
     island[0] = True
@@ -156,3 +171,84 @@ def phrase_ranges_segments(
 def phrase_search_segments(segments: DataFrame, query: str, n: int = NGRAM_N) -> DataFrame:
     """(doc_id) docs containing the phrase, ascending."""
     return phrase_ranges_segments(segments, query, n).select("doc_id").distinct().orderBy("doc_id")
+
+
+def _shard_phrase_bm25(
+    rows: dict[str, dict], toks: list[str], n_docs: int, avgdl: float
+) -> pd.DataFrame:
+    """(doc_id, score, n_matches) for one shard: phrase-matching docs
+    scored with BM25 over the phrase's distinct trigrams. Every match
+    doc contains every term (conjunctive match), so each term's impact
+    is gathered by one searchsorted into its block-pruned decode — no
+    per-doc Python."""
+    from searty_spark.wand import _impacts, _require_df
+
+    empty = pd.DataFrame({"doc_id": [], "score": [], "n_matches": []})
+    m = _shard_match_starts(rows, toks)
+    if m is None:
+        return empty
+    docs_m, _ = m
+    mdocs, counts = np.unique(docs_m, return_counts=True)
+    scores = np.zeros(mdocs.size, dtype=np.float64)
+    for t in sorted(set(toks)):
+        row = rows[t]
+        blocks = _blocks_for(row, mdocs)
+        docs, tfs, dls = decode_segment_scores(row, blocks)
+        docs = docs.astype(np.int64)
+        idx = np.searchsorted(docs, mdocs)
+        if not np.array_equal(docs[idx], mdocs):
+            raise AssertionError("phrase match doc missing from term postings")
+        scores += _impacts(tfs, dls, n_docs, avgdl, _require_df(row))[idx]
+    return pd.DataFrame(
+        {
+            "doc_id": mdocs,
+            "score": np.round(scores, 6),
+            "n_matches": counts.astype(np.int64),
+        }
+    )
+
+
+def phrase_bm25_topk_segments(
+    segments: DataFrame,
+    query: str,
+    k: int = 10,
+    n: int = NGRAM_N,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    n_shards: int | None = None,
+    df_lookup=None,
+) -> DataFrame:
+    """(doc_id, score, n_matches) — ranked phrase search over the
+    compressed segments: identical output to query.phrase_bm25_topk.
+    The phrase intersection prunes to match docs first; BM25 impacts
+    then decode only the blocks holding those docs. df_global follows
+    the same lookup contract as wand_topk (dict / DataFrame / None)."""
+    from searty_spark.wand import _with_df_global
+
+    spark = segments.sparkSession
+    toks = tokenize(query, n)
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, score double, n_matches long")
+    assert n_docs is not None and avgdl is not None
+    terms = sorted(set(toks))
+    pruned = _with_df_global(segments.filter(F.col("term").isin(terms)), terms, df_lookup)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by_shard: dict[int, dict[str, dict]] = {}
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                shard_rows = by_shard.setdefault(int(rec["shard"]), {})
+                if rec["term"] in shard_rows:
+                    raise ValueError(
+                        f"duplicate segment row for (shard={rec['shard']}, "
+                        f"term={rec['term']!r}); merge partial indexes before querying"
+                    )
+                shard_rows[rec["term"]] = rec
+        for shard, rows in by_shard.items():
+            yield _shard_phrase_bm25(rows, toks, n_docs, avgdl)
+
+    rep = (
+        pruned.repartition(n_shards, "shard") if n_shards else pruned.repartition("shard")
+    )
+    local = rep.mapInPandas(run, "doc_id long, score double, n_matches long")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -75,6 +75,59 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def phrase_bm25_topk(
+    postings: DataFrame,
+    dstats: DataFrame,
+    query: str,
+    k: int = 10,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """(doc_id, score, n_matches) — ranked phrase search, the query
+    shape a search UI issues: docs containing the exact phrase, ranked
+    by BM25 over the phrase's trigrams (global df — the same score
+    bm25_topk would give the doc), with the number of phrase
+    occurrences. Ranking key (round(score, 6) DESC, doc_id ASC).
+
+    Plan: the phrase match (conjunctive doc pruning before the position
+    explode, see phrase_match_starts) produces the candidate doc set;
+    the BM25 side is then semi-joined down to those docs BEFORE the
+    dstats join, so scoring work is proportional to phrase matches,
+    not to the posting lists. df stays corpus-global (computed before
+    the restriction)."""
+    spark = postings.sparkSession
+    terms = sorted(set(tokenize(query, n)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double, n_matches long")
+    matches = (
+        phrase_match_starts(postings, query, n)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )
+    cstats = dstats.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    p = postings.filter(F.col("term").isin(terms)).select("term", "doc_id", "tf")
+    dfreq = p.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        p.join(matches.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(dfreq), "term")
+        .join(dstats, "doc_id")
+        .crossJoin(F.broadcast(cstats))
+        .select(
+            "doc_id",
+            bm25_score_col(
+                F.col("tf"), F.col("doc_len"), F.col("avgdl"), F.col("n_docs"), F.col("df")
+            ).alias("partial"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), SCORE_NDIGITS).alias("score"))
+    )
+    return (
+        scored.join(matches, "doc_id")
+        .select("doc_id", "score", "n_matches")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _query_terms_df(spark: SparkSession, toks: list[str]):
     return spark.createDataFrame(
         [(i, t) for i, t in enumerate(toks)], "offset int, term string"

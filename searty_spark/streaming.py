@@ -28,6 +28,14 @@ EVENTS_SCHEMA = T.StructType(
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    from pathlib import Path
+
+    # the file stream source requires a directory (or glob) whose
+    # parent becomes basePath; a single-file path is turned into the
+    # glob that matches exactly it so callers can stream one parquet
+    # file without copying it into a directory first
+    if Path(path).is_file():
+        path = f"{path[:-1]}[{path[-1]}]"
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -51,6 +59,8 @@ def incremental_index_stream(
     work_dir: str,
     n_shards: int = 4,
     n_buckets: int = 8,
+    dedup_recrawl: bool = False,
+    doc_key: str = "url",
 ) -> list[str]:
     """Streaming ingestion of a webpages corpus: every micro-batch is
     indexed into its own partial index (the map phase of SURVEY.md
@@ -58,17 +68,58 @@ def incremental_index_stream(
     reference's per-system-DB -> searty-merge topology, driven by
     Structured Streaming. Returns the partial index dirs (pass them to
     merge.merge_indexes). Batches must carry disjoint doc_id ranges
-    (true for append-only crawls)."""
+    (true for append-only crawls).
+
+    ``dedup_recrawl=True`` adds cross-batch re-crawl detection: a
+    persistent key store (``<work_dir>/seen_keys``, one row per
+    already-indexed ``doc_key``) is consulted per micro-batch and
+    re-crawled documents are dropped (keep-FIRST, matching
+    merge(dedup_docs=True) semantics) before indexing, so the partials
+    stay key-disjoint and the plain blob-space merge applies. Within a
+    batch, duplicate keys keep the lowest doc_id. foreachBatch runs
+    batches sequentially, so read-then-append on the key store is
+    race-free; at fleet scale the store is the same idea as a
+    state-store/Bloom front on the crawl frontier."""
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
     from searty_spark.index import write_index
     from searty_spark.schema import WEBPAGES
 
     dirs: list[str] = []
+    seen_dir = f"{work_dir}/seen_keys"
 
     def per_batch(df: DataFrame, epoch_id: int) -> None:
         if df.isEmpty():
             return
         d = f"{work_dir}/batch_{epoch_id}"
+        if dedup_recrawl:
+            w = Window.partitionBy(doc_key).orderBy("doc_id")
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            if Path(seen_dir).exists():
+                seen = spark.read.parquet(seen_dir)
+                df = df.join(
+                    seen, df[doc_key] == seen["key"], "left_anti"
+                )
+            # land the cleaned batch before indexing: breaks the lazy
+            # self-reference with the key store we append to below, and
+            # is what a production pipeline does anyway (the cleaned
+            # batch is itself a deliverable)
+            clean = f"{work_dir}/batch_{epoch_id}_corpus"
+            df.write.mode("overwrite").parquet(clean)
+            df = spark.read.parquet(clean)
+            if df.isEmpty():
+                return
         write_index(df, d, n_shards=n_shards, n_buckets=n_buckets, resume=False)
+        if dedup_recrawl:
+            df.select(F.col(doc_key).alias("key")).distinct().write.mode(
+                "append"
+            ).parquet(seen_dir)
         dirs.append(d)
 
     q = (

@@ -30,3 +30,41 @@ def test_phrase_ranges_segments_match_oracle(seg_df, oracle_index, query):
 def test_phrase_search_segments_match_oracle(seg_df, oracle_index, query):
     got = [r["doc_id"] for r in phrase_search_segments(seg_df, query).collect()]
     assert got == O.phrase_doc_ids(oracle_index, query), f"query={query!r}"
+
+
+@pytest.mark.parametrize("query", ["shared phrase", "aaaa", "marker", "zzqzzqzz"])
+def test_phrase_bm25_df_equals_segments(spark, small_corpus, seg_df, query):
+    """Ranked phrase search: the DataFrame path and the segment path
+    must agree exactly on (doc_id, score, n_matches) — and n_matches
+    must equal the oracle's match-start count."""
+    from searty_spark.phrase_seg import phrase_bm25_topk_segments
+    from searty_spark.query import phrase_bm25_topk
+
+    p = build_postings(small_corpus)
+    s = doc_stats(small_corpus)
+    row = s.groupBy().agg({"doc_len": "avg", "*": "count"}).collect()[0]
+    got_df = [
+        (r["doc_id"], r["score"], r["n_matches"])
+        for r in phrase_bm25_topk(p, s, query, k=100).collect()
+    ]
+    got_seg = [
+        (r["doc_id"], r["score"], r["n_matches"])
+        for r in phrase_bm25_topk_segments(
+            seg_df, query, k=100,
+            n_docs=int(row["count(1)"]), avgdl=float(row["avg(doc_len)"]),
+            n_shards=3,
+        ).collect()
+    ]
+    assert got_df == got_seg, f"query={query!r}"
+    # every returned doc must actually contain the phrase, with the
+    # brute-force occurrence count from the corpus text itself
+    texts = {r["doc_id"]: r["text"] for r in small_corpus.select("doc_id", "text").collect()}
+    for d, _, n in got_df:
+        t, i, cnt = texts[d], 0, 0
+        while True:
+            j = t.find(query, i)
+            if j < 0:
+                break
+            cnt += 1
+            i = j + 1
+        assert cnt == n, f"query={query!r} doc={d}"

@@ -107,3 +107,61 @@ def test_streaming_incremental_index_equals_single_shot(spark, tmp_path):
         }
 
     assert content(merged_dir) == content(single_dir)
+
+
+def test_streaming_recrawl_dedup_equals_single_shot(spark, tmp_path):
+    """Cross-batch incremental dedup: a re-crawled url landing in a
+    later micro-batch (under a new doc_id) is detected against the
+    persistent seen-keys store and dropped (keep-first), so the
+    compacted index equals the single-shot build over the
+    union-minus-duplicates corpus — byte-identical."""
+    from searty_spark.corpus import synth_corpus
+    from searty_spark.index import load_segments, write_index
+    from searty_spark.merge import merge_indexes
+    from searty_spark.streaming import incremental_index_stream
+
+    corpus = synth_corpus(spark, 70, seed=42).cache()
+    a = corpus.filter(F.col("doc_id") < 40)
+    # re-crawl of docs 30..69 under new doc_ids (urls 30..39 duplicated)
+    b = corpus.filter(F.col("doc_id") >= 30).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    import shutil
+    import time
+
+    for name, df in (("f0", a), ("f1", b)):
+        df.coalesce(1).write.parquet(str(stream_dir / name), mode="overwrite")
+        for f in (stream_dir / name).glob("part-*.parquet"):
+            shutil.move(str(f), str(stream_dir / f"{name}.parquet"))
+        shutil.rmtree(stream_dir / name)
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    dirs = incremental_index_stream(
+        spark, str(stream_dir), str(tmp_path / "partial"),
+        n_shards=2, n_buckets=4, dedup_recrawl=True,
+    )
+    assert len(dirs) == 2
+    merged_dir = str(tmp_path / "merged")
+    merge_indexes(spark, dirs, merged_dir)  # plain merge: keys disjoint
+
+    single = a.unionByName(b.filter(F.col("doc_id") >= 1040))
+    single_dir = str(tmp_path / "single")
+    write_index(single, single_dir, n_shards=2, n_buckets=4)
+
+    def content(d):
+        return {
+            (r["shard"], r["term"]): (r["df"], bytes(r["blob"]), bytes(r["pos_blob"]))
+            for r in load_segments(spark, d).collect()
+        }
+
+    assert content(merged_dir) == content(single_dir)
+
+    # replaying the SAME stream against the SAME work_dir: every doc is
+    # now a known key, so nothing is indexed at all
+    more = incremental_index_stream(
+        spark, str(stream_dir), str(tmp_path / "partial"),
+        n_shards=2, n_buckets=4, dedup_recrawl=True,
+    )
+    assert more == []
