@@ -241,6 +241,80 @@ def q_filename_search(spark, sf):
     )
 
 
+def _lisp_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic Lisp-ish corpus derived from the documents table:
+    `(defun <w0> ( <w1> <w2> ) "<w3>" <w4> )` where w_i is the doc's
+    i-th whitespace token sanitized to [a-z0-9] and prefixed with 's'
+    (always a plain symbol). Every fixture doc lexes to exactly 10
+    tokens, 5 of them SYMBOLs — a generation rule simple enough to
+    replay in the DuckDB oracle while the Spark side runs the REAL
+    scanner + composite-key segment encoder."""
+    toks = F.split(F.col("text"), " ")
+
+    def w(i: int):
+        return F.concat(
+            F.lit("s"),
+            F.regexp_replace(F.coalesce(toks.getItem(i), F.lit("")), "[^a-z0-9]", ""),
+        )
+
+    text = F.concat_ws(
+        " ",
+        F.lit("(defun"), w(0), F.lit("("), w(1), w(2), F.lit(")"),
+        F.concat(F.lit('"'), w(3), F.lit('"')), w(4), F.lit(")"),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _lisp_segments(spark, sf):
+    """Fixture corpus -> kind-composite token rows -> segments (the
+    write_index(analyzer="lisp") build path, in memory)."""
+    from pyspark.sql import Window
+
+    from searty_spark.index import LISP_KIND_SEP
+    from searty_spark.lisp_tokenizer import lisp_token_rows
+    from searty_spark.segments import build_segments_from_tokens
+
+    fx = _lisp_fixture(_docs(spark, sf))
+    toks = lisp_token_rows(fx).select(
+        "doc_id",
+        F.concat("kind", F.lit(LISP_KIND_SEP), "term").alias("term"),
+        "pos",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("doc_len"),
+    )
+    return build_segments_from_tokens(toks, n_shards=4, n_buckets=8)
+
+
+def q_lisp_index_symbols(spark, sf):
+    """T2 wired into the index: SYMBOL-kind dictionary stats (df, cf)
+    read back from the composite-key segment table — gates scanner +
+    kind keying + segment encoding end-to-end."""
+    from searty_spark.index import LISP_KIND_SEP
+
+    prefix = "SYMBOL" + LISP_KIND_SEP
+    seg = _lisp_segments(spark, sf).filter(F.col("term").startswith(prefix))
+    return (
+        seg.select(F.substring("term", len(prefix) + 1, 1 << 20).alias("symbol"), "df", "cf")
+        .groupBy("symbol")
+        .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+    )
+
+
+def q_lisp_symbol_bm25(spark, sf):
+    """Kind-FILTERED BM25 over the lisp index: only SYMBOL occurrences
+    of the query token score — the same text inside the fixture's
+    string literal is a different composite term and never matches."""
+    from searty_spark.index import lisp_term
+    from searty_spark.wand import wand_topk
+
+    seg = _lisp_segments(spark, sf)
+    n_docs = _docs(spark, sf).count()
+    # every fixture doc lexes to exactly 10 tokens -> avgdl == 10
+    return wand_topk(
+        seg, None, "", k=K_BM25, n_docs=n_docs, avgdl=10.0, n_shards=4,
+        terms=[lisp_term("SYMBOL", "s" + SYMBOL)],
+    )
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dup_groups(_docs(spark, sf))
 
@@ -495,6 +569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_defs_bare": q_symbol_defs_bare,
         "package_defs": q_package_defs,
         "filename_search": q_filename_search,
+        "lisp_index_symbols": q_lisp_index_symbols,
+        "lisp_symbol_bm25": q_lisp_symbol_bm25,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
@@ -720,6 +796,51 @@ ORDER BY round(raw, 6) DESC, s.doc_id LIMIT {k}
 """
 
 
+_LISP_W = """
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT doc_id,
+  's' || regexp_replace(coalesce(toks[1], ''), '[^a-z0-9]', '', 'g') AS w0,
+  's' || regexp_replace(coalesce(toks[2], ''), '[^a-z0-9]', '', 'g') AS w1,
+  's' || regexp_replace(coalesce(toks[3], ''), '[^a-z0-9]', '', 'g') AS w2,
+  's' || regexp_replace(coalesce(toks[5], ''), '[^a-z0-9]', '', 'g') AS w4
+FROM t),
+sym AS (
+  SELECT doc_id, 'defun' AS s FROM w
+  UNION ALL SELECT doc_id, w0 FROM w
+  UNION ALL SELECT doc_id, w1 FROM w
+  UNION ALL SELECT doc_id, w2 FROM w
+  UNION ALL SELECT doc_id, w4 FROM w)
+"""
+
+
+def _lisp_symbols_sql() -> str:
+    """Oracle for lisp_index_symbols: replay the fixture generation
+    rule (the Spark side runs the real scanner + encoder; this side
+    computes what that scanner must emit by construction)."""
+    return f"""
+WITH {_LISP_W}
+SELECT s AS symbol, cast(count(DISTINCT doc_id) AS bigint) AS df,
+       cast(count(*) AS bigint) AS cf
+FROM sym GROUP BY s
+"""
+
+
+def _lisp_bm25_sql(symbol: str, k: int) -> str:
+    """BM25 over SYMBOL-kind occurrences only; every fixture doc has
+    exactly 10 tokens so dl == avgdl and the length norm is 1."""
+    return f"""
+WITH {_LISP_W},
+p AS (SELECT doc_id, count(*) AS tf FROM sym WHERE s = '{symbol}' GROUP BY 1),
+c AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (SELECT count(*) AS df FROM p)
+SELECT doc_id,
+       round( ln((c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * tf * 2.2 / (tf + 1.2), 6) AS score
+FROM p CROSS JOIN c CROSS JOIN dfq
+ORDER BY 2 DESC, doc_id LIMIT {k}
+"""
+
+
 def _bm25_sql(query: str, k: int) -> str:
     terms = sorted(set(tokenize(query)))
     tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
@@ -818,6 +939,8 @@ WHERE p.name = 'EN'
         "filename_search": (
             "SELECT doc_id, source FROM documents WHERE contains(source, '1') ORDER BY doc_id"
         ),
+        "lisp_index_symbols": _lisp_symbols_sql(),
+        "lisp_symbol_bm25": _lisp_bm25_sql("s" + SYMBOL, K_BM25),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, cast(count(*) AS bigint) AS n_docs, "
             "min(doc_id) AS min_doc_id FROM documents GROUP BY 1"

@@ -46,6 +46,7 @@ def cmd_build(args) -> None:
         resume=not args.no_resume,
         store_docs=args.store_docs,
         doc_key=args.doc_key,
+        analyzer=args.analyzer,
     )
     print(json.dumps({"wall_sec": time.perf_counter() - t0, **m["stats"]}))
 
@@ -98,7 +99,14 @@ def cmd_query(args) -> None:
                 for r in ranges.collect():
                     print(f"{r['doc_id']}:{r['start']}:{r['end']}")
         else:
-            rows = query_index(spark, args.index, q, k=args.k).collect()
+            from searty_spark.index import load_stats, query_index_lisp
+
+            if load_stats(args.index).get("analyzer", "trigram") == "lisp":
+                rows = query_index_lisp(
+                    spark, args.index, q, k=args.k, kind=args.kind
+                ).collect()
+            else:
+                rows = query_index(spark, args.index, q, k=args.k).collect()
             for rank, r in enumerate(rows, 1):
                 print(f"{rank}\t{r['doc_id']}\t{r['score']}")
 
@@ -217,6 +225,9 @@ def main(argv=None) -> None:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--store-docs", action="store_true",
                    help="persist (doc_id, url, text) for pretty-printed query results")
+    b.add_argument("--analyzer", default="trigram", choices=["trigram", "lisp"],
+                   help="tokenizer: char trigrams (default) or the kind-aware "
+                        "Lisp lexical scanner (SURVEY.md T2)")
     b.add_argument("--doc-key", default="auto",
                    help="document-identity column for shared-identity merge "
                         "(default: auto = url when present; must be UNIQUE per document)")
@@ -238,6 +249,9 @@ def main(argv=None) -> None:
     q.add_argument("--phrase", action="store_true")
     q.add_argument("--symbol", action="store_true",
                    help="symbol-definition search (pkg:name / pkg::name / name)")
+    q.add_argument("--kind", default="SYMBOL",
+                   help="token kind to match on a lisp-analyzer index "
+                        "(SYMBOL, STRING, LINE_COMMENT, ...)")
     q.add_argument("queries", nargs="+")
     q.set_defaults(fn=cmd_query)
 

@@ -43,6 +43,19 @@ from pyspark.sql import functions as F
 DEFAULT_SHARDS = 4
 DEFAULT_BUCKETS = 32
 
+# Kind-composite token identity for the Lisp analyzer (SURVEY.md T2):
+# the reference declares a per-token `kind` column it never writes
+# (ref lib/database/schema.sql:12-16, SURVEY §1.2); here token identity
+# IS (kind, term), realized as one composite string so the entire
+# segment/bucket/dictionary/query machinery applies unchanged — a
+# kind-filtered query is an ordinary pushed-filter term lookup.
+LISP_KIND_SEP = "\x1f"
+
+
+def lisp_term(kind: str, term: str) -> str:
+    return f"{kind}{LISP_KIND_SEP}{term}"
+
+
 # On-disk format version, stamped into stats.json. Bump whenever the
 # segment/dictionary layout changes incompatibly (format 1 = round-1
 # indexes with df_global/block_max_impact baked into segments; format 2
@@ -94,8 +107,16 @@ def write_index(
     shard_batch: int | None = None,
     store_docs: bool = False,
     doc_key: str | None = "auto",
+    analyzer: str = "trigram",
 ) -> dict:
     """Build the full index with per-unit checkpoints. Returns metrics.
+
+    ``analyzer`` selects the tokenizer (ref: the per-corpus analyzer
+    choice, SURVEY.md T1/T2): "trigram" (default) or "lisp" — the
+    kind-aware lexical scanner, whose token identity is the
+    (kind, term) composite (see LISP_KIND_SEP). The lisp doc length is
+    the document's TOKEN count (trigram doc_len is char-derived), so
+    stage 1 runs one extra tokenize pass; query with query_index_lisp.
 
     ``store_docs`` additionally persists (doc_id, url, text) — the
     analogue of the reference's ``document`` table (schema.sql:1-8)
@@ -110,6 +131,8 @@ def write_index(
     ``source`` (a non-unique key would make dedup merge collapse
     distinct documents). Pass the column name explicitly to override.
     """
+    if analyzer not in ("trigram", "lisp"):
+        raise ValueError(f"unknown analyzer {analyzer!r} (trigram | lisp)")
     spark = corpus.sparkSession
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -135,13 +158,33 @@ def write_index(
         extra = ([F.col(key_col).alias("key")] if key_col else []) + (
             [F.col("lang")] if "lang" in corpus.columns else []
         )
-        ds = corpus.select(
-            "doc_id",
-            F.greatest(F.char_length(F.col(text_col)) - F.lit(2), F.lit(0))
-            .cast("long")
-            .alias("doc_len"),
-            *extra,
-        )
+        if analyzer == "lisp":
+            # lisp doc length = token count (the BM25 length norm for
+            # the lexical analyzer); docs with zero tokens keep a row
+            from searty_spark.lisp_tokenizer import lisp_token_rows
+
+            counts = (
+                lisp_token_rows(corpus, text_col)
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("doc_len"))
+            )
+            extra_names = (["key"] if key_col else []) + (
+                ["lang"] if "lang" in corpus.columns else []
+            )
+            ds = (
+                corpus.select("doc_id", *extra)
+                .join(counts, "doc_id", "left")
+                .withColumn("doc_len", F.coalesce("doc_len", F.lit(0)).cast("long"))
+                .select("doc_id", "doc_len", *extra_names)
+            )
+        else:
+            ds = corpus.select(
+                "doc_id",
+                F.greatest(F.char_length(F.col(text_col)) - F.lit(2), F.lit(0))
+                .cast("long")
+                .alias("doc_len"),
+                *extra,
+            )
         ds.write.mode("overwrite").parquet(str(out / "docstats"))
         ds2 = spark.read.parquet(str(out / "docstats"))
         row = ds2.agg(
@@ -149,6 +192,7 @@ def write_index(
         ).collect()[0]
         stats = {
             "format": INDEX_FORMAT,
+            "analyzer": analyzer,
             "n_docs": int(row["n"]),
             "sum_dl": int(row["s"]),
             "avgdl": float(row["a"]),
@@ -215,6 +259,18 @@ def write_index(
         src = corpus.repartition(target)
 
     def tokens_with_len():
+        if analyzer == "lisp":
+            from searty_spark.lisp_tokenizer import lisp_token_rows
+
+            toks = lisp_token_rows(src, text_col).select(
+                "doc_id",
+                F.concat(F.col("kind"), F.lit(LISP_KIND_SEP), F.col("term")).alias(
+                    "term"
+                ),
+                "pos",
+            )
+            dl = spark.read.parquet(str(out / "docstats")).select("doc_id", "doc_len")
+            return toks.join(dl, "doc_id").select("doc_id", "doc_len", "pos", "term")
         from searty_spark.tokenize import trigrams_col
 
         return src.select(
@@ -325,11 +381,48 @@ def query_index(
 ) -> DataFrame:
     """Top-k BM25 via block-max MaxScore with bucket partition pruning."""
     from searty_spark.tokenize import tokenize
-    from searty_spark.wand import wand_topk
 
     stats = load_stats(index_dir)
+    if stats.get("analyzer", "trigram") != "trigram":
+        raise ValueError(
+            f"index at {index_dir} uses the {stats['analyzer']!r} analyzer — "
+            "query it with query_index_lisp"
+        )
+    return _query_terms(spark, index_dir, stats, sorted(set(tokenize(query))), k)
+
+
+def query_index_lisp(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    kind: str = "SYMBOL",
+) -> DataFrame:
+    """Kind-filtered BM25 top-k over a Lisp-analyzer index: the query
+    is lexed with the same scanner and its tokens OF THE GIVEN KIND
+    become the composite query terms — e.g. kind="SYMBOL" matches only
+    symbol occurrences, never the same text inside a string literal or
+    comment. This is the query side of the reference's declared
+    token.kind column (schema.sql:12-16); kind filtering costs nothing
+    extra because kind is part of the pushed-down term key."""
+    from searty_spark.lisp_tokenizer import lisp_tokenize
+
+    stats = load_stats(index_dir)
+    if stats.get("analyzer", "trigram") != "lisp":
+        raise ValueError(
+            f"index at {index_dir} uses the "
+            f"{stats.get('analyzer', 'trigram')!r} analyzer, not 'lisp'"
+        )
+    terms = sorted({lisp_term(kind, t) for t, _, kd in lisp_tokenize(query) if kd == kind})
+    return _query_terms(spark, index_dir, stats, terms, k)
+
+
+def _query_terms(
+    spark: SparkSession, index_dir: str, stats: dict, terms: list[str], k: int
+) -> DataFrame:
+    from searty_spark.wand import wand_topk
+
     seg = load_segments(spark, index_dir)
-    terms = sorted(set(tokenize(query)))
     if terms:
         buckets = term_buckets(spark, terms, stats["n_buckets"])
         seg = seg.filter(F.col("bucket").isin(buckets))
@@ -337,10 +430,11 @@ def query_index(
     return wand_topk(
         seg,
         dstats=None,
-        query=query,
+        query="",
         k=k,
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
         n_shards=stats["n_shards"],
         df_lookup=dictionary,
+        terms=terms,
     )

@@ -142,9 +142,12 @@ def merge_indexes(
     stats_list = [load_stats(d) for d in index_dirs]
     n_shards = stats_list[0]["n_shards"]
     n_buckets = stats_list[0]["n_buckets"]
+    analyzer = stats_list[0].get("analyzer", "trigram")
     assert all(s["n_shards"] == n_shards and s["n_buckets"] == n_buckets for s in stats_list)
+    if not all(s.get("analyzer", "trigram") == analyzer for s in stats_list):
+        raise ValueError("cannot merge indexes built with different analyzers")
     if dedup_docs:
-        return _merge_dedup(spark, index_dirs, out_dir, n_shards, n_buckets)
+        return _merge_dedup(spark, index_dirs, out_dir, n_shards, n_buckets, analyzer)
     n_docs = sum(s["n_docs"] for s in stats_list)
     sum_dl = sum(s["sum_dl"] for s in stats_list)
     avgdl = sum_dl / n_docs
@@ -167,6 +170,7 @@ def merge_indexes(
     )
     stats = {
         "format": INDEX_FORMAT,
+        "analyzer": analyzer,
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": avgdl,
@@ -220,7 +224,12 @@ def merge_indexes(
 
 
 def _merge_dedup(
-    spark: SparkSession, index_dirs: list[str], out_dir: str, n_shards: int, n_buckets: int
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    n_shards: int,
+    n_buckets: int,
+    analyzer: str = "trigram",
 ) -> dict:
     """Shared-document-identity merge (see merge_indexes docstring)."""
     from pyspark.sql import Window
@@ -282,6 +291,7 @@ def _merge_dedup(
     seg.write.partitionBy("shard", "bucket").mode("overwrite").parquet(str(out / "segments"))
     stats = {
         "format": INDEX_FORMAT,
+        "analyzer": analyzer,
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": avgdl,

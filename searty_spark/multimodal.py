@@ -1,12 +1,19 @@
 """Multimodal columns for a training-data pipeline.
 
 Media ride as opaque ``binary`` columns with typed metadata structs —
-the schema/partitioning/UDF plumbing is real and tested; the actual
-codec calls (image decode, audio resample, video frame extraction) are
-STUBBED: the container has no PIL/ffmpeg, so `deterministic_fake=True`
-derives features from the bytes themselves (stable, testable), and
-`deterministic_fake=False` raises NotImplementedError where the codec
-library call would go.
+the schema/partitioning/UDF plumbing is real and tested. Codec choice
+is a ``codec`` argument:
+
+- ``"fake"`` (CI default): features derived deterministically from the
+  payload bytes — stable and testable with no media libraries.
+- ``"real"``: PIL for images, soundfile for audio (probed at call time
+  on each executor); a missing library raises NotImplementedError, a
+  payload that fails to decode yields an ``ok=False`` row (corrupt
+  media is routine at 100 TB, it must not kill the job). Video needs
+  ffmpeg, which has no in-container probe target — always
+  NotImplementedError under "real".
+- ``"auto"``: "real" when every probed library is present, else
+  "fake" — the mode tests run under both environments unchanged.
 
 Batch shape matters at 100 TB: media bytes dominate row size, so the
 extractors run via ``mapInPandas`` with a small
@@ -54,6 +61,75 @@ FEATURE_SCHEMA = (
 _FEATURE_DIM = 8
 
 
+def _codec_modules():
+    """Probe the optional real codec libraries. Called inside the
+    Arrow kernels so each executor probes its own environment."""
+    try:
+        from PIL import Image  # noqa: N811
+    except Exception:
+        Image = None
+    try:
+        import soundfile
+    except Exception:
+        soundfile = None
+    return Image, soundfile
+
+
+def codecs_available() -> bool:
+    image, sound = _codec_modules()
+    return image is not None and sound is not None
+
+
+def _resolve_codec(codec: str) -> str:
+    if codec not in ("fake", "real", "auto"):
+        raise ValueError(f"codec must be fake|real|auto, got {codec!r}")
+    if codec == "auto":
+        return "real" if codecs_available() else "fake"
+    return codec
+
+
+def _real_features(kind: str, payload: bytes, image_mod, sound_mod) -> np.ndarray | None:
+    """Decode + featurize with the real libraries; None on decode
+    failure (-> ok=False row). Raises NotImplementedError when the
+    library for the kind is absent."""
+    import io
+
+    if kind == "image":
+        if image_mod is None:
+            raise NotImplementedError("real image decode needs PIL — not installed")
+        try:
+            img = image_mod.open(io.BytesIO(payload)).convert("RGB")
+            a = np.asarray(img, dtype=np.float32)
+        except Exception:
+            return None
+        return np.array(
+            [
+                img.width, img.height,
+                a[..., 0].mean(), a[..., 1].mean(), a[..., 2].mean(),
+                a.std(), img.width / max(img.height, 1), a.size,
+            ],
+            dtype=np.float32,
+        )
+    if kind == "audio":
+        if sound_mod is None:
+            raise NotImplementedError("real audio decode needs soundfile — not installed")
+        try:
+            data, sr = sound_mod.read(io.BytesIO(payload))
+        except Exception:
+            return None
+        d = np.atleast_2d(np.asarray(data, dtype=np.float64))
+        return np.array(
+            [
+                sr, d.shape[0] if data.ndim > 1 else d.shape[1],
+                d.mean(), d.std(), d.min(), d.max(),
+                d.shape[0] if data.ndim > 1 else 1,
+                (d.size / max(sr, 1)),
+            ],
+            dtype=np.float32,
+        )
+    raise NotImplementedError("real video frame decode needs ffmpeg — not installed")
+
+
 def _fake_decode_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for decode+embed: 8 floats derived from
     the sha1 of the bytes. Replace with the real decoder on a cluster
@@ -64,25 +140,41 @@ def _fake_decode_features(payload: bytes) -> np.ndarray:
 
 
 def extract_features(
-    media: DataFrame, deterministic_fake: bool = True
+    media: DataFrame, deterministic_fake: bool = True, codec: str | None = None
 ) -> DataFrame:
-    """media (MEDIA_SCHEMA) -> per-item features, payload dropped."""
+    """media (MEDIA_SCHEMA) -> per-item features, payload dropped.
+
+    ``codec``: fake | real | auto (see module docstring). The legacy
+    ``deterministic_fake`` flag maps to fake/real when ``codec`` is not
+    given."""
+    if codec is None:
+        codec = "fake" if deterministic_fake else "real"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mode = _resolve_codec(codec)
+        image_mod, sound_mod = _codec_modules()
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real media decode needs PIL/torchaudio/ffmpeg — not in this container"
-                )
             payloads = pdf["payload"]
+            if mode == "fake":
+                feats = payloads.map(lambda b: _fake_decode_features(b).tolist())
+                ok = pd.Series(True, index=pdf.index)
+            else:
+                decoded = [
+                    _real_features(k, b, image_mod, sound_mod)
+                    for k, b in zip(pdf["kind"], payloads)
+                ]
+                feats = pd.Series(
+                    [None if d is None else d.tolist() for d in decoded], index=pdf.index
+                )
+                ok = pd.Series([d is not None for d in decoded], index=pdf.index)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "sha1": payloads.map(lambda b: hashlib.sha1(b).hexdigest()),
-                    "feature": payloads.map(lambda b: _fake_decode_features(b).tolist()),
-                    "ok": True,
+                    "feature": feats,
+                    "ok": ok,
                 }
             )
 
@@ -149,12 +241,19 @@ def audio_chunk_plan(media: DataFrame, window_ms: int = 1000, hop_ms: int = 500)
 
 
 def resize_plan(
-    media: DataFrame, max_side: int = 224, deterministic_fake: bool = True
+    media: DataFrame,
+    max_side: int = 224,
+    deterministic_fake: bool = True,
+    codec: str | None = None,
 ) -> DataFrame:
     """Image resize: metadata math (target dims, aspect-preserving) is
-    real JVM SQL; the pixel work is the stubbed decode. Output drops
-    the payload (the resized bytes would be written straight to the
-    sink on a real cluster, never shuffled)."""
+    real JVM SQL; the pixel work follows the ``codec`` contract (fake:
+    byte count derived from the planned dims; real: PIL decode +
+    resize, ok=False on corrupt payloads). Output drops the payload
+    (the resized bytes would be written straight to the sink on a real
+    cluster, never shuffled)."""
+    if codec is None:
+        codec = "fake" if deterministic_fake else "real"
     imgs = media.filter(F.col("kind") == "image")
     w = F.col("meta.width").cast("double")
     h = F.col("meta.height").cast("double")
@@ -167,21 +266,38 @@ def resize_plan(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mode = _resolve_codec(codec)
+        image_mod, _ = _codec_modules()
+        if mode == "real" and image_mod is None:
+            raise NotImplementedError("real image resize needs PIL — not installed")
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real image resize needs PIL — not in this container"
-                )
-            # fake: "resized" byte count derived deterministically
+            if mode == "fake":
+                # fake: "resized" byte count derived deterministically
+                n_out = pdf["out_w"].astype("int64") * pdf["out_h"].astype("int64") * 3
+                ok = pd.Series(True, index=pdf.index)
+            else:
+                import io
+
+                n_list, ok_list = [], []
+                for payload, ow, oh in zip(pdf["payload"], pdf["out_w"], pdf["out_h"]):
+                    try:
+                        img = image_mod.open(io.BytesIO(payload)).convert("RGB")
+                        out = io.BytesIO()
+                        img.resize((int(ow), int(oh))).save(out, format="PNG")
+                        n_list.append(out.getbuffer().nbytes)
+                        ok_list.append(True)
+                    except Exception:
+                        n_list.append(0)
+                        ok_list.append(False)
+                n_out = pd.Series(n_list, index=pdf.index, dtype="int64")
+                ok = pd.Series(ok_list, index=pdf.index)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "out_w": pdf["out_w"],
                     "out_h": pdf["out_h"],
-                    "n_bytes_out": (
-                        pdf["out_w"].astype("int64") * pdf["out_h"].astype("int64") * 3
-                    ),
-                    "ok": True,
+                    "n_bytes_out": n_out,
+                    "ok": ok,
                 }
             )
 

@@ -287,14 +287,20 @@ def wand_topk(
     n_buckets: int | None = None,
     n_shards: int | None = None,
     df_lookup=None,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, score) exact BM25 top-k from the segment table.
 
     ``n_shards`` caps the query-side parallelism at the shard count —
     without it the repartition uses spark.sql.shuffle.partitions and
-    schedules mostly-empty tasks (pure latency)."""
+    schedules mostly-empty tasks (pure latency).
+
+    ``terms`` overrides the default trigram tokenization of ``query``
+    — the hook for alternate analyzers (e.g. the Lisp analyzer's
+    kind-composite terms, index.query_index_lisp)."""
     spark = segments.sparkSession
-    terms = sorted(set(tokenize(query, n)))
+    if terms is None:
+        terms = sorted(set(tokenize(query, n)))
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     if n_docs is None or avgdl is None:

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from searty_spark.multimodal import (
+    MEDIA_SCHEMA,
     extract_features,
     frame_sample_plan,
     synth_media,
@@ -30,10 +31,57 @@ def test_extract_features_deterministic_and_payload_free(spark):
     assert all(rows[m]["feature"] == rows2[m]["feature"] for m in rows)
 
 
-def test_extract_features_real_decode_is_stubbed(spark):
+def test_extract_features_real_decode_raises_without_codecs(spark):
+    # synth media includes video, for which no real codec exists in any
+    # environment (needs ffmpeg) -> the real path must raise, never
+    # silently fake
     media = synth_media(spark, 3)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|needs"):
         extract_features(media, deterministic_fake=False).collect()
+
+
+def test_extract_features_auto_codec_runs_everywhere(spark):
+    """codec="auto" resolves to real when PIL+soundfile are installed
+    and fake otherwise — same test passes in both environments (the
+    synth payloads are random bytes, so the real branch yields
+    ok=False decode failures rather than crashing)."""
+    from searty_spark.multimodal import codecs_available
+
+    media = synth_media(spark, 12).filter("kind != 'video'")
+    rows = {r["media_id"]: r for r in extract_features(media, codec="auto").collect()}
+    assert len(rows) == 8
+    assert all(r["n_bytes"] > 0 and len(r["sha1"]) == 40 for r in rows.values())
+    if codecs_available():
+        assert all(not r["ok"] and r["feature"] is None for r in rows.values())
+    else:
+        assert all(r["ok"] and len(r["feature"]) == 8 for r in rows.values())
+    rows2 = {
+        r["media_id"]: r for r in extract_features(media, codec="auto").collect()
+    }
+    assert {m: (r["ok"], r["feature"]) for m, r in rows.items()} == {
+        m: (r["ok"], r["feature"]) for m, r in rows2.items()
+    }
+
+
+def test_extract_features_real_codec_on_valid_media(spark):
+    """Exercises the REAL decode branch — skipped where PIL/soundfile
+    are absent (this container); runs wherever they are installed."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 4), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(0, "image", png, ("image/png", 10, 4, None)), (1, "image", b"junk", ("image/png", 1, 1, None))],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, codec="real").collect()}
+    assert rows[0]["ok"] and rows[0]["feature"][:2] == [10.0, 4.0]
+    assert rows[0]["feature"][2] == 255.0  # mean red channel
+    assert not rows[1]["ok"] and rows[1]["feature"] is None
 
 
 def test_frame_sample_plan(spark):
@@ -154,8 +202,15 @@ def test_audio_chunk_plan_and_resize(spark):
     # synth meta is 64x64 -> aspect-preserved to 32x32, payload dropped
     assert all(r["out_w"] == 32 and r["out_h"] == 32 and r["ok"] for r in rs)
     assert all(r["n_bytes_out"] == 32 * 32 * 3 for r in rs)
-    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
-        resize_plan(media, max_side=32, deterministic_fake=False).collect()
+    from searty_spark.multimodal import codecs_available
+
+    if not codecs_available():
+        with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+            resize_plan(media, max_side=32, deterministic_fake=False).collect()
+    else:
+        # random-byte payloads: the real branch flags them, never dies
+        rs_real = resize_plan(media, max_side=32, codec="real").collect()
+        assert all(not r["ok"] for r in rs_real)
 
     # payloads are all distinct in synth_media -> every group size 1;
     # duplicating the frame makes every group size 2
