@@ -86,6 +86,14 @@ def cmd_query(args) -> None:
                     f"{r['package_name']}:{r['symbol_name']}"
                 )
         elif args.phrase:
+            from searty_spark.index import load_stats
+
+            if load_stats(args.index).get("analyzer", "trigram") != "trigram":
+                raise SystemExit(
+                    "--phrase needs a trigram-analyzer index; this index was "
+                    "built with --analyzer lisp (positional phrase search is "
+                    "defined over character trigrams)"
+                )
             ranges = phrase_ranges_segments(load_segments(spark, args.index), q)
             if docs_path.exists():
                 # ref pretty-print shape: key:start:end:line

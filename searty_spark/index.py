@@ -206,6 +206,16 @@ def write_index(
     # load_stats (not a raw read) so resuming over a foreign-format
     # index dir fails fast instead of skipping relocated stages
     stats = load_stats(out_dir)
+    if stats.get("analyzer", "trigram") != analyzer:
+        # resuming a trigram checkpoint with analyzer="lisp" would skip
+        # the char-derived docstats stage and then join lisp tokens onto
+        # trigram doc lengths — a silently inconsistent index
+        raise ValueError(
+            f"index at {out_dir} was started with analyzer="
+            f"{stats.get('analyzer', 'trigram')!r}; resuming with "
+            f"{analyzer!r} would mix analyzers — use a fresh out_dir or "
+            "resume with the original analyzer"
+        )
 
     if store_docs and "documents" not in done:
         t0 = time.perf_counter()

@@ -152,6 +152,20 @@ def merge_indexes(
     sum_dl = sum(s["sum_dl"] for s in stats_list)
     avgdl = sum_dl / n_docs
 
+    # validate docstats schema compatibility BEFORE any expensive work
+    # or writes: failing after the segment merge would leave a
+    # half-written index dir that load_stats accepts
+    parts = {d: spark.read.parquet(str(Path(d) / "docstats")) for d in index_dirs}
+    if len({tuple(sorted(x.columns)) for x in parts.values()}) > 1:
+        # fail with the actionable cause, not unionByName's raw
+        # AnalysisException: the usual mismatch is one index built with
+        # a doc_key (docstats has key/lang) and one without
+        raise ValueError(
+            "docstats schemas differ across the inputs — every index in a "
+            "merge must be built with the same doc_key/lang columns: "
+            + "; ".join(f"{d}: {sorted(x.columns)}" for d, x in parts.items())
+        )
+
     segs = None
     for d in index_dirs:
         s = load_segments(spark, d)
@@ -180,16 +194,6 @@ def merge_indexes(
     (out / "stats.json").write_text(json.dumps(stats))
 
     # docstats + dictionary follow by union / re-aggregation
-    parts = {d: spark.read.parquet(str(Path(d) / "docstats")) for d in index_dirs}
-    if len({tuple(sorted(x.columns)) for x in parts.values()}) > 1:
-        # fail with the actionable cause BEFORE unionByName's raw
-        # AnalysisException: the usual mismatch is one index built with
-        # a doc_key (docstats has key/lang) and one without
-        raise ValueError(
-            "docstats schemas differ across the inputs — every index in a "
-            "merge must be built with the same doc_key/lang columns: "
-            + "; ".join(f"{d}: {sorted(x.columns)}" for d, x in parts.items())
-        )
     ds = None
     for d in index_dirs:
         x = parts[d]

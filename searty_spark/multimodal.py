@@ -117,14 +117,14 @@ def _real_features(kind: str, payload: bytes, image_mod, sound_mod) -> np.ndarra
             data, sr = sound_mod.read(io.BytesIO(payload))
         except Exception:
             return None
-        d = np.atleast_2d(np.asarray(data, dtype=np.float64))
+        a = np.asarray(data, dtype=np.float64)
+        if a.size == 0:  # zero-frame file: decodes, but is not usable media
+            return None
+        frames = a.shape[0]
+        channels = a.shape[1] if a.ndim > 1 else 1
         return np.array(
-            [
-                sr, d.shape[0] if data.ndim > 1 else d.shape[1],
-                d.mean(), d.std(), d.min(), d.max(),
-                d.shape[0] if data.ndim > 1 else 1,
-                (d.size / max(sr, 1)),
-            ],
+            [sr, frames, a.mean(), a.std(), a.min(), a.max(), channels,
+             frames / max(sr, 1)],
             dtype=np.float32,
         )
     raise NotImplementedError("real video frame decode needs ffmpeg — not installed")

@@ -33,8 +33,16 @@ def read_event_stream(
     # the file stream source requires a directory (or glob) whose
     # parent becomes basePath; a single-file path is turned into the
     # glob that matches exactly it so callers can stream one parquet
-    # file without copying it into a directory first
+    # file without copying it into a directory first. The trick is only
+    # safe when the path contains no glob metacharacters of its own —
+    # Spark would expand those and match a different file.
     if Path(path).is_file():
+        if any(c in path for c in "*?[]{}"):
+            raise ValueError(
+                "single-file stream paths must not contain glob "
+                f"metacharacters ({path!r}) — move the file into its own "
+                "directory and stream that"
+            )
         path = f"{path[:-1]}[{path[-1]}]"
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:

@@ -96,13 +96,14 @@ def _term_upper_bound(row: dict, n_docs: int, avgdl: float) -> float:
     )
 
 
-def _check_duplicate_term_rows(rows: list[dict], n_docs: int, avgdl: float) -> None:
+def _check_duplicate_term_rows(rows: list[dict]) -> None:
     """Duplicate (shard, term) rows come from unmerged partial indexes.
     Summing their impacts is exact BM25 only while each duplicate's doc
     set is disjoint (impact(tf1)+impact(tf2) != impact(tf1+tf2)); an
     overlapping doc would be silently mis-scored, so verify
     disjointness and raise — the symmetric guard to the
-    wand_topk_batch / phrase path raises."""
+    wand_topk_batch / phrase path raises. Decodes doc_ids only (no
+    impact math; the scoring pass re-decodes with block pruning)."""
     from collections import Counter
 
     counts = Counter(r["term"] for r in rows)
@@ -110,8 +111,12 @@ def _check_duplicate_term_rows(rows: list[dict], n_docs: int, avgdl: float) -> N
         if n < 2:
             continue
         all_docs = np.concatenate(
-            [_term_scores(r, n_docs, avgdl)[0] for r in rows if r["term"] == term]
-        )
+            [
+                _decode_blocks(r, range(len(r["block_offset"])))[0]
+                for r in rows
+                if r["term"] == term
+            ]
+        ).astype(np.int64)
         if np.unique(all_docs).size != all_docs.size:
             raise ValueError(
                 f"duplicate segment rows for term {term!r} share doc_ids — "
@@ -128,7 +133,7 @@ def shard_topk(rows: list[dict], n_docs: int, avgdl: float, k: int) -> pd.DataFr
     if not rows:
         return pd.DataFrame({"doc_id": [], "score": []})
     if len({r["term"] for r in rows}) != len(rows):
-        _check_duplicate_term_rows(rows, n_docs, avgdl)
+        _check_duplicate_term_rows(rows)
     ubs = np.array([_term_upper_bound(r, n_docs, avgdl) for r in rows])
     order = np.argsort(-ubs, kind="stable")  # descending upper bound
     rows = [rows[i] for i in order]

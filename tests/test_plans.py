@@ -128,3 +128,18 @@ def test_corpus_filter_pushdown(spark, disk_index):
     plan = _plan(q)
     assert "LessThan(doc_id,10)" in plan
     assert "text" not in plan.split("ReadSchema", 1)[1][:200]
+
+
+def test_phrase_bm25_restricts_scoring_to_match_docs(spark, small_corpus):
+    """Ranked phrase search: the BM25 scoring side must be semi-joined
+    down to the phrase-matching docs (LeftSemi in the plan) BEFORE the
+    dstats join, and the top-k must be TakeOrderedAndProject — scoring
+    work proportional to matches, not posting lists."""
+    from searty_spark.query import phrase_bm25_topk
+
+    p = build_postings(small_corpus)
+    s = doc_stats(small_corpus)
+    plan = _plan(phrase_bm25_topk(p, s, "shared phrase", k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
