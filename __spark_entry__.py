@@ -346,6 +346,34 @@ def q_clean_corpus(spark, sf):
     return clean_corpus(_docs(spark, sf))
 
 
+def q_sample_stratified(spark, sf):
+    """Fixed-size per-language sample (training-mix balancing):
+    deterministic lowest-md5(text) per stratum — same rows at any
+    partitioning/engine/cluster size."""
+    from searty_spark.pipeline import sample_stratified
+
+    return sample_stratified(_docs(spark, sf), n_per_stratum=50)
+
+
+def q_normalize_text(spark, sf):
+    return textops.normalize_text(_docs(spark, sf))
+
+
+def q_top_terms_tfidf(spark, sf):
+    """Per-doc top-3 keywords by tf-idf, engine-agnostic ranking key."""
+    return textops.top_terms_tfidf(_docs(spark, sf), k=3)
+
+
+def q_bm25_filtered(spark, sf):
+    """Metadata-filtered ranking: BM25 top-k restricted to lang='en'
+    docs, corpus-global idf (post-filter semantics)."""
+    from searty_spark.query import bm25_topk_in
+
+    docs = _docs(spark, sf)
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    return bm25_topk_in(build_postings(docs), doc_stats(docs), Q_BM25_COMMON, en, k=K_BM25)
+
+
 def q_sample_corpus(spark, sf):
     """Deterministic content-hash 10% sample — reproducible training
     subsets independent of partitioning/engine."""
@@ -578,6 +606,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
         "sample_corpus": q_sample_corpus,
+        "sample_stratified": q_sample_stratified,
+        "normalize_text": q_normalize_text,
+        "top_terms_tfidf": q_top_terms_tfidf,
+        "bm25_topk_filtered": q_bm25_filtered,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -862,6 +894,30 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT {k}
 """
 
 
+def _bm25_filtered_sql(query: str, k: int, lang: str) -> str:
+    """bm25 oracle restricted to one language's docs; df stays
+    corpus-global (post-filter semantics, matching bm25_topk_in)."""
+    terms = sorted(set(tokenize(query)))
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH tok AS ({_TOK}),
+p AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN ({tlist}) GROUP BY 1, 2),
+dl AS (SELECT doc_id, greatest(length(text) - 2, 0) AS doc_len FROM documents),
+c AS (SELECT count(*) AS n_docs, avg(greatest(length(text) - 2, 0)) AS avgdl FROM documents),
+dfq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+f AS (SELECT doc_id FROM documents WHERE lang = '{lang}'),
+s AS (
+  SELECT p.doc_id,
+         sum( ln((c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * p.tf * 2.2
+              / (p.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / c.avgdl)) ) AS raw
+  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) JOIN f USING (doc_id) CROSS JOIN c
+  GROUP BY 1)
+SELECT doc_id, round(raw, 6) AS score FROM s
+ORDER BY round(raw, 6) DESC, doc_id LIMIT {k}
+"""
+
+
 def _phrase_ranges_sql(q: str) -> str:
     ln = len(q)
     lit = q.replace("'", "''")
@@ -961,6 +1017,32 @@ WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {JACC_T}
             "WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT * 100 < 10 * 65536 "
             "ORDER BY doc_id"
         ),
+        "sample_stratified": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 50 ORDER BY doc_id
+""",
+        "normalize_text": (
+            r"SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+            " AS norm_text FROM documents ORDER BY doc_id"
+        ),
+        "top_terms_tfidf": """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+  GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+c AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, term, round(tf * ln(c.n / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN c),
+r AS (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM s)
+SELECT doc_id, term, cast(rnk AS int) AS rnk, tfidf FROM r WHERE rnk <= 3
+""",
+        "bm25_topk_filtered": _bm25_filtered_sql(Q_BM25_COMMON, K_BM25, "en"),
         "ngram_counts": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS ngram

@@ -121,6 +121,17 @@ def main():
     )
     results["phrase_query"] = round(t, 4)
 
+    # ranked phrase search (phrase + BM25 + occurrence counts), segment path
+    from searty_spark.phrase_seg import phrase_bm25_topk_segments
+
+    t, _ = timed(
+        lambda: phrase_bm25_topk_segments(
+            seg, PHRASE_QUERIES[0], k=10,
+            n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
+        ).collect()
+    )
+    extra["phrase_bm25_seg"] = round(t, 4)
+
     # --- DataFrame-path twin (uncompressed postings) --------------------
     postings = build_postings(docs).cache()
     dstats = doc_stats(docs).cache()

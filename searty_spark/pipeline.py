@@ -73,3 +73,28 @@ def sample_corpus(docs: DataFrame, pct: int = 10) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+def sample_stratified(
+    docs: DataFrame, n_per_stratum: int = 100, stratum_col: str = "lang"
+) -> DataFrame:
+    """(doc_id, <stratum>) — deterministic fixed-size per-stratum
+    sample: within each stratum keep the ``n_per_stratum`` docs with
+    the LOWEST md5(text) (ties broken by doc_id). The training-mix
+    balancing primitive: equal representation per language/source
+    regardless of how skewed the corpus is, and — like sample_corpus —
+    a pure function of content, identical at any partitioning, engine
+    or cluster size.
+
+    One window over one shuffle by stratum; at 10^12 rows the stratum
+    key has low cardinality, so compute rides the same AQE-handled
+    shuffle any per-group top-k does (no driver involvement)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .select("doc_id", stratum_col)
+        .orderBy("doc_id")
+    )

@@ -75,6 +75,46 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_topk_in(
+    postings: DataFrame,
+    dstats: DataFrame,
+    query: str,
+    doc_ids: DataFrame,
+    k: int = 10,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """Metadata-filtered BM25 top-k: rank only the docs in ``doc_ids``
+    (a one-column DataFrame — e.g. docs of one language / source /
+    license), with idf kept CORPUS-GLOBAL so a doc's score is the same
+    number bm25_topk gives it (post-filter semantics — the filter
+    narrows candidates, it does not re-weight terms).
+
+    The restriction is a semi-join applied before the dstats join, so
+    scoring work is proportional to the filtered set."""
+    spark = postings.sparkSession
+    terms = sorted(set(tokenize(query, n)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cstats = dstats.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    p = postings.filter(F.col("term").isin(terms)).select("term", "doc_id", "tf")
+    dfreq = p.groupBy("term").agg(F.count("*").alias("df"))  # global df
+    scored = (
+        p.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(dfreq), "term")
+        .join(dstats, "doc_id")
+        .crossJoin(F.broadcast(cstats))
+        .select(
+            "doc_id",
+            bm25_score_col(
+                F.col("tf"), F.col("doc_len"), F.col("avgdl"), F.col("n_docs"), F.col("df")
+            ).alias("partial"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), SCORE_NDIGITS).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def phrase_bm25_topk(
     postings: DataFrame,
     dstats: DataFrame,

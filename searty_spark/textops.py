@@ -141,3 +141,52 @@ def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
         .filter(F.col("n_occurrences") >= min_count)
         .orderBy(F.desc("n_occurrences"), "ngram")
     )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm_text) — canonical text form for dedup/hashing:
+    lowercase, whitespace runs collapsed to single spaces, trimmed.
+    Pure JVM SQL (one projection, no shuffle) — at 100 TB this is a
+    map-only pass that fuses into whatever scan follows it."""
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
+            "norm_text"
+        ),
+    ).orderBy("doc_id")
+
+
+def top_terms_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, term, rnk, tfidf) — each doc's top-k whitespace tokens
+    by tf-idf (tf = in-doc count, idf = ln(N / df), df = docs
+    containing the term): the per-document keyword extraction a
+    training pipeline uses for topic tagging / mixture analysis.
+
+    Plan: one explode -> (term, doc) hash agg (map-side combined), a
+    tiny df aggregate broadcast back, one window per doc. Scores are
+    rounded to 6 decimals BEFORE ranking so the ranking key
+    (round(tfidf, 6) DESC, term ASC) is engine-agnostic — the DuckDB
+    oracle replays it exactly."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(words_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", F.col("rnk").cast("int").alias("rnk"), "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
