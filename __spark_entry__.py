@@ -346,6 +346,19 @@ def q_clean_corpus(spark, sf):
     return clean_corpus(_docs(spark, sf))
 
 
+REGEX_Q = "spark (join|table)"
+
+
+def q_regex_search(spark, sf):
+    """Trigram-accelerated regex search (the Cox codesearch shape over
+    this engine's trigram postings): required-literal extraction ->
+    trigram conjunction candidates -> exact regex verify."""
+    from searty_spark.query import regex_search
+
+    docs = _docs(spark, sf)
+    return regex_search(docs, build_postings(docs), REGEX_Q)
+
+
 def q_sample_stratified(spark, sf):
     """Fixed-size per-language sample (training-mix balancing):
     deterministic lowest-md5(text) per stratum — same rows at any
@@ -592,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_ranges_seg": q_phrase_ranges_seg,
         "phrase_bm25": q_phrase_bm25,
         "phrase_bm25_seg": q_phrase_bm25_seg,
+        "regex_search": q_regex_search,
         "symbol_lookup": q_symbol_lookup,
         "symbol_defs": q_symbol_defs,
         "symbol_defs_bare": q_symbol_defs_bare,
@@ -977,6 +991,10 @@ FROM (SELECT DISTINCT term FROM tok) d
         "phrase_ranges_seg": _phrase_ranges_sql(Q_PHRASE_PERIODIC),
         "phrase_search": (
             f"SELECT doc_id FROM documents WHERE contains(text, '{Q_PHRASE}') ORDER BY doc_id"
+        ),
+        "regex_search": (
+            f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_Q}') "
+            "ORDER BY doc_id"
         ),
         "phrase_ranges": _phrase_ranges_sql(Q_PHRASE_PERIODIC),
         "symbol_lookup": (

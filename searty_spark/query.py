@@ -260,6 +260,122 @@ def phrase_match_ranges(
     )
 
 
+def required_literals(pattern: str) -> list[str]:
+    """Conservative extraction of literal substrings every match of
+    ``pattern`` must contain — the trigram-index acceleration of regex
+    search (the Cox codesearch idea, re-expressed over this engine's
+    trigram postings). SOUNDNESS contract: a doc matching the regex
+    always contains every returned literal; when in doubt return less.
+
+    Rules (all conservative):
+    - a top-level alternation voids everything (either branch matches);
+    - groups (...) and classes [...] contribute nothing (skipped);
+    - ? * {0,..} make the preceding char optional -> drop it;
+    - . \\d anchors etc. break the current run;
+    - escaped specials (\\.) count as the literal char.
+    Only runs of length >= NGRAM_N are useful to the index."""
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush():
+        if len(cur) >= NGRAM_N:
+            runs.append("".join(cur))
+        cur.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt.isalnum():  # \d \w \b \1 ... — a class/anchor, not a literal
+                flush()
+            else:
+                cur.append(nxt)
+            i += 2
+            continue
+        if c == "|":
+            return []  # top-level alternation: nothing is required
+        if c == "(":
+            depth = 1
+            i += 1
+            while i < n and depth:
+                if pattern[i] == "\\":
+                    i += 2
+                    continue
+                depth += {"(": 1, ")": -1}.get(pattern[i], 0)
+                i += 1
+            flush()
+            continue
+        if c == "[":
+            i += 1
+            if i < n and pattern[i] == "^":
+                i += 1
+            if i < n and pattern[i] == "]":
+                i += 1
+            while i < n and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+            i += 1
+            flush()
+            continue
+        if c in "?*":
+            if cur:
+                cur.pop()  # preceding char is optional
+            flush()
+            i += 1
+            continue
+        if c == "{":
+            j = pattern.find("}", i)
+            body = pattern[i + 1 : j] if j > 0 else ""
+            if body.split(",")[0].strip() in ("", "0") and cur:
+                cur.pop()  # {0,..} or {,..}: preceding char optional
+            flush()
+            i = (j + 1) if j > 0 else n
+            continue
+        if c in ".^$+":
+            # '.'/anchors break the run; 'x+' guarantees one x, so the
+            # run INCLUDING x is kept — but what follows the + is not
+            # adjacent to a single x, so the run ends here either way
+            flush()
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    flush()
+    return runs
+
+
+def regex_search(
+    docs: DataFrame, postings: DataFrame, pattern: str, n: int = NGRAM_N
+) -> DataFrame:
+    """(doc_id) — docs whose text matches ``pattern``, accelerated by
+    the trigram index: every required literal's trigrams must all be
+    present in a doc (pure index work, pushed-down term filters), and
+    only the surviving candidates pay the regex evaluation. With no
+    extractable literal (e.g. a top-level alternation of classes) this
+    degrades to the full verify scan — still correct, just unpruned.
+
+    Candidate superset note: "contains all trigrams of L" is a superset
+    of "contains substring L", which is itself a superset of "matches
+    the regex" — verification makes the result exact."""
+    cand = None
+    for lit in required_literals(pattern):
+        terms = sorted(set(tokenize(lit, n)))
+        if not terms:
+            continue
+        have = (
+            postings.filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(terms))
+            .select("doc_id")
+        )
+        cand = have if cand is None else cand.join(have, "doc_id", "left_semi")
+    pruned = docs if cand is None else docs.join(cand, "doc_id", "left_semi")
+    return (
+        pruned.filter(F.col("text").rlike(pattern)).select("doc_id").orderBy("doc_id")
+    )
+
+
 def resolve_ranges(ranges: DataFrame, docs: DataFrame) -> DataFrame:
     """Q8+Q11 (ref resolveResultDocument + pretty_print.go:11-41):
     join match ranges back to documents and extract the containing
