@@ -359,6 +359,14 @@ def q_regex_search(spark, sf):
     return regex_search(docs, build_postings(docs), REGEX_Q)
 
 
+def q_regex_search_seg(spark, sf):
+    """Index-accelerated twin of regex_search: candidates from the
+    compressed segments, same oracle."""
+    from searty_spark.query import regex_search_segments
+
+    return regex_search_segments(_docs(spark, sf), _segments(spark, sf), REGEX_Q)
+
+
 def q_sample_stratified(spark, sf):
     """Fixed-size per-language sample (training-mix balancing):
     deterministic lowest-md5(text) per stratum — same rows at any
@@ -606,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25": q_phrase_bm25,
         "phrase_bm25_seg": q_phrase_bm25_seg,
         "regex_search": q_regex_search,
+        "regex_search_seg": q_regex_search_seg,
         "symbol_lookup": q_symbol_lookup,
         "symbol_defs": q_symbol_defs,
         "symbol_defs_bare": q_symbol_defs_bare,
@@ -993,6 +1002,10 @@ FROM (SELECT DISTINCT term FROM tok) d
             f"SELECT doc_id FROM documents WHERE contains(text, '{Q_PHRASE}') ORDER BY doc_id"
         ),
         "regex_search": (
+            f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_Q}') "
+            "ORDER BY doc_id"
+        ),
+        "regex_search_seg": (
             f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_Q}') "
             "ORDER BY doc_id"
         ),

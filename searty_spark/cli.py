@@ -85,6 +85,22 @@ def cmd_query(args) -> None:
                     f"{r['source']}:{r['position']}\t{r['specifier']}\t"
                     f"{r['package_name']}:{r['symbol_name']}"
                 )
+        elif args.regex:
+            from searty_spark.index import load_stats
+            from searty_spark.query import regex_search_segments
+
+            if load_stats(args.index).get("analyzer", "trigram") != "trigram":
+                raise SystemExit("--regex needs a trigram-analyzer index")
+            if not docs_path.exists():
+                raise SystemExit(
+                    "--regex verification needs the doc texts: rebuild the "
+                    "index with --store-docs (or query the corpus directly "
+                    "via the library API)"
+                )
+            docs = spark.read.parquet(str(docs_path))
+            seg = load_segments(spark, args.index)
+            for r in regex_search_segments(docs, seg, q).collect():
+                print(r["doc_id"])
         elif args.phrase:
             from searty_spark.index import load_stats
 
@@ -255,6 +271,8 @@ def main(argv=None) -> None:
     q.add_argument("--index", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--phrase", action="store_true")
+    q.add_argument("--regex", action="store_true",
+                   help="trigram-accelerated regex search (needs --store-docs index)")
     q.add_argument("--symbol", action="store_true",
                    help="symbol-definition search (pkg:name / pkg::name / name)")
     q.add_argument("--kind", default="SYMBOL",

@@ -38,27 +38,13 @@ def _blocks_for(row: dict, docs: np.ndarray) -> list[int]:
     return b[b < last.size].tolist()
 
 
-def _shard_match_starts(
-    rows: dict[str, dict], toks: list[str]
-) -> tuple[np.ndarray, np.ndarray] | None:
-    """rows: term -> segment row dict. Returns (doc_ids, starts) of
-    every phrase match start in this shard, sorted by (doc, start), or
-    None when the shard has no match.
-
-    Fully vectorized: no Python loop scales with the number of
-    candidate docs or matches. The per-offset (doc, rel) pair streams
-    are concatenated, and a (doc, rel) pair is a phrase start iff it
-    occurs in all len(toks) offset streams (the count-distinct-offsets
-    trick of query.py, here as one lexsort + run-length count — pairs
-    are unique within an offset because positions are unique per doc).
-    """
-    # all-or-nothing within the shard for the conjunction
+def _shard_docs_with_all(rows: dict[str, dict], toks: list[str]) -> np.ndarray | None:
+    """Conjunctive doc intersection over the SCORE blobs (cheaper than
+    positions), rarest term first, progressively block-pruned with
+    block_last_doc — the phrase twin of WAND's block skipping. None
+    when the shard cannot match (all-or-nothing conjunction)."""
     if any(t not in rows for t in toks):
         return None
-
-    # 1) conjunctive doc intersection over the SCORE blobs (cheaper
-    #    than positions), rarest term first, progressively block-pruned
-    #    with block_last_doc — the phrase twin of WAND's block skipping
     uniq_terms = sorted(set(toks), key=lambda t: rows[t]["df"])
     common: np.ndarray | None = None
     for t in uniq_terms:
@@ -77,6 +63,27 @@ def _shard_match_starts(
         )
         if common.size == 0:
             return None
+    return common
+
+
+def _shard_match_starts(
+    rows: dict[str, dict], toks: list[str]
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """rows: term -> segment row dict. Returns (doc_ids, starts) of
+    every phrase match start in this shard, sorted by (doc, start), or
+    None when the shard has no match.
+
+    Fully vectorized: no Python loop scales with the number of
+    candidate docs or matches. The per-offset (doc, rel) pair streams
+    are concatenated, and a (doc, rel) pair is a phrase start iff it
+    occurs in all len(toks) offset streams (the count-distinct-offsets
+    trick of query.py, here as one lexsort + run-length count — pairs
+    are unique within an offset because positions are unique per doc).
+    """
+    common = _shard_docs_with_all(rows, toks)
+    if common is None:
+        return None
+    uniq_terms = sorted(set(toks), key=lambda t: rows[t]["df"])
 
     # 2) positions decode ONLY for blocks holding surviving candidates
     decoded = {}
@@ -171,6 +178,42 @@ def phrase_ranges_segments(
 def phrase_search_segments(segments: DataFrame, query: str, n: int = NGRAM_N) -> DataFrame:
     """(doc_id) docs containing the phrase, ascending."""
     return phrase_ranges_segments(segments, query, n).select("doc_id").distinct().orderBy("doc_id")
+
+
+def docs_with_all_terms_segments(
+    segments: DataFrame, terms: list[str], n_shards: int | None = None
+) -> DataFrame:
+    """(doc_id) — docs whose postings contain EVERY given term, from
+    the compressed segments (per-shard block-pruned intersection,
+    rarest term first). The candidate-generation primitive behind the
+    index-accelerated regex search; also useful standalone as a
+    conjunctive boolean filter."""
+    spark = segments.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    terms = sorted(set(terms))
+    pruned = segments.filter(F.col("term").isin(terms))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by_shard: dict[int, dict[str, dict]] = {}
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                shard_rows = by_shard.setdefault(int(rec["shard"]), {})
+                if rec["term"] in shard_rows:
+                    raise ValueError(
+                        f"duplicate segment row for (shard={rec['shard']}, "
+                        f"term={rec['term']!r}); merge partial indexes before querying"
+                    )
+                shard_rows[rec["term"]] = rec
+        for shard, rows in by_shard.items():
+            common = _shard_docs_with_all(rows, terms)
+            if common is not None:
+                yield pd.DataFrame({"doc_id": common})
+
+    rep = (
+        pruned.repartition(n_shards, "shard") if n_shards else pruned.repartition("shard")
+    )
+    return rep.mapInPandas(run, "doc_id long")
 
 
 def _shard_phrase_bm25(

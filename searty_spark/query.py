@@ -376,6 +376,33 @@ def regex_search(
     )
 
 
+def regex_search_segments(
+    docs: DataFrame,
+    segments: DataFrame,
+    pattern: str,
+    n: int = NGRAM_N,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Segment-path twin of :func:`regex_search`: candidates come from
+    the COMPRESSED index (per-shard block-pruned trigram intersection,
+    see phrase_seg.docs_with_all_terms_segments) instead of posting
+    rows; the doc table is touched only to verify the surviving
+    candidates with the exact regex."""
+    from searty_spark.phrase_seg import docs_with_all_terms_segments
+
+    cand = None
+    for lit in required_literals(pattern):
+        terms = sorted(set(tokenize(lit, n)))
+        if not terms:
+            continue
+        have = docs_with_all_terms_segments(segments, terms, n_shards=n_shards)
+        cand = have if cand is None else cand.join(have, "doc_id", "left_semi")
+    pruned = docs if cand is None else docs.join(cand, "doc_id", "left_semi")
+    return (
+        pruned.filter(F.col("text").rlike(pattern)).select("doc_id").orderBy("doc_id")
+    )
+
+
 def resolve_ranges(ranges: DataFrame, docs: DataFrame) -> DataFrame:
     """Q8+Q11 (ref resolveResultDocument + pretty_print.go:11-41):
     join match ranges back to documents and extract the containing

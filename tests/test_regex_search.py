@@ -41,6 +41,10 @@ def test_required_literals(pattern, want):
     ],
 )
 def test_regex_search_equals_brute_scan(spark, small_corpus, pattern):
+    from searty_spark.build import doc_stats
+    from searty_spark.query import regex_search_segments
+    from searty_spark.segments import build_segments
+
     p = build_postings(small_corpus)
     got = [r["doc_id"] for r in regex_search(small_corpus, p, pattern).collect()]
     want = [
@@ -51,3 +55,9 @@ def test_regex_search_equals_brute_scan(spark, small_corpus, pattern):
         .collect()
     ]
     assert got == want, pattern
+    seg = build_segments(p, doc_stats(small_corpus), n_shards=2, n_buckets=4)
+    got_seg = [
+        r["doc_id"]
+        for r in regex_search_segments(small_corpus, seg, pattern, n_shards=2).collect()
+    ]
+    assert got_seg == want, pattern
