@@ -38,6 +38,7 @@ K_BM25 = 20
 JACC_T = 0.2
 SYMBOL = "key"
 IVF_CELLS, IVF_ITER, IVF_SAMPLE, IVF_PROBE = 32, 2, 4096, 4
+PQ_M, PQ_K, PQ_REFINE = 8, 16, 50
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
@@ -459,6 +460,17 @@ def q_ivf_topk_trained(spark, sf):
     return ann.ivf_topk_trained(emb, query_vec_id=0, cents=cents, k=10, n_probe=IVF_PROBE)
 
 
+def q_pq_topk(spark, sf):
+    """IVF/PQ family, the compression half: product-quantization ADC
+    top-k with exact re-rank — codebooks trained on a bounded sample,
+    every quantization decision on round(d^2, 6), so the DuckDB oracle
+    replays the full train/encode/ADC pipeline (8 subspace k-means) and
+    reaches the identical candidate set."""
+    emb = _emb(spark, sf)
+    books = ann.pq_train(emb, m=PQ_M, k=PQ_K, n_iter=2, sample=IVF_SAMPLE)
+    return ann.pq_topk(emb, query_vec_id=0, books=books, k=10, refine=PQ_REFINE)
+
+
 def q_ivf_assign(spark, sf):
     return ann.ivf_assign(_emb(spark, sf), n_cells=32)
 
@@ -646,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_trained": q_ivf_topk_trained,
+        "pq_topk": q_pq_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "customers_without_orders": q_customers_without_orders,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -915,6 +928,95 @@ s AS (
 SELECT doc_id, round(raw, 6) AS score FROM s
 ORDER BY round(raw, 6) DESC, doc_id LIMIT {k}
 """
+
+
+def _pq_topk_sql(
+    qid: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    n_iter: int = 2,
+    sample: int = IVF_SAMPLE,
+    refine: int = PQ_REFINE,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ann.pq_train + pq_encode + pq_topk: replays the m
+    independent subspace k-means (L2 in the algebraic form
+    ||x||^2 - 2x.c + ||c||^2, decisions on round(d2, 6) with ties to
+    the lowest code, plain-mean updates, empty cells keep previous),
+    the full-corpus encoding, the ADC table lookup, the
+    (round(approx,6) DESC, vec_id) candidate cut, and the exact
+    re-rank."""
+    dsub = dim // m
+    unit = (
+        "CASE WHEN sqrt(list_dot_product({x}, {x})) > 0 "
+        "THEN list_transform({x}, e -> e / sqrt(list_dot_product({x}, {x}))) "
+        "ELSE {x} END"
+    )
+    d2 = (
+        "round(list_dot_product({x}, {x}) - 2 * list_dot_product({x}, {c}) "
+        "+ list_dot_product({c}, {c}), 6)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"n AS (SELECT vec_id, {unit.format(x='v')} AS v FROM e)",
+        f"s AS (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {sample})",
+    ]
+    code_units, tbl_units = [], []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        ctes += [
+            f"sb{j} AS (SELECT vec_id, v[{lo}:{hi}] AS x FROM s)",
+            f"sv{j} AS (SELECT vec_id, i AS dim, x[i] AS val "
+            f"FROM sb{j} CROSS JOIN generate_series(1, {dsub}) AS t(i))",
+            f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "
+            f"x AS cv FROM (SELECT vec_id, x FROM sb{j} ORDER BY vec_id LIMIT {kc}))",
+        ]
+        for it in range(1, n_iter + 1):
+            prev = f"c{j}_{it - 1}"
+            ctes += [
+                f"a{j}_{it} AS (SELECT vec_id, cell FROM ("
+                f"SELECT sb.vec_id, c.cell, row_number() OVER (PARTITION BY sb.vec_id "
+                f"ORDER BY {d2.format(x='sb.x', c='c.cv')} ASC, c.cell) AS rn "
+                f"FROM sb{j} sb CROSS JOIN {prev} c) WHERE rn = 1)",
+                f"m{j}_{it} AS (SELECT a.cell, sv.dim, avg(sv.val) AS mval "
+                f"FROM a{j}_{it} a JOIN sv{j} sv USING (vec_id) GROUP BY 1, 2)",
+                f"mc{j}_{it} AS (SELECT cell, list(mval ORDER BY dim) AS mv "
+                f"FROM m{j}_{it} GROUP BY cell)",
+                f"c{j}_{it} AS (SELECT c.cell, CASE WHEN mc.cell IS NOT NULL "
+                f"THEN mc.mv ELSE c.cv END AS cv "
+                f"FROM {prev} c LEFT JOIN mc{j}_{it} mc USING (cell))",
+            ]
+        cf = f"c{j}_{n_iter}"
+        ctes += [
+            f"nb{j} AS (SELECT vec_id, v[{lo}:{hi}] AS x FROM n)",
+            f"enc{j} AS (SELECT vec_id, cell AS code FROM ("
+            f"SELECT nb.vec_id, c.cell, row_number() OVER (PARTITION BY nb.vec_id "
+            f"ORDER BY {d2.format(x='nb.x', c='c.cv')} ASC, c.cell) AS rn "
+            f"FROM nb{j} nb CROSS JOIN {cf} c) WHERE rn = 1)",
+            f"qs{j} AS (SELECT v[{lo}:{hi}] AS x FROM n WHERE vec_id = {qid})",
+            f"t{j} AS (SELECT c.cell, list_dot_product(qs.x, c.cv) AS tv "
+            f"FROM {cf} c CROSS JOIN qs{j} qs)",
+        ]
+        code_units.append(f"SELECT vec_id, {j} AS j, code FROM enc{j}")
+        tbl_units.append(f"SELECT {j} AS j, cell, tv FROM t{j}")
+    ctes += [
+        "codes AS (" + " UNION ALL ".join(code_units) + ")",
+        "tt AS (" + " UNION ALL ".join(tbl_units) + ")",
+        "approx AS (SELECT vec_id, round(sum(tt.tv), 6) AS approx "
+        "FROM codes JOIN tt ON tt.j = codes.j AND tt.cell = codes.code "
+        "GROUP BY vec_id)",
+        f"cand AS (SELECT vec_id FROM approx WHERE vec_id != {qid} "
+        f"ORDER BY approx DESC, vec_id LIMIT {refine})",
+        f"qr AS (SELECT v AS qv FROM e WHERE vec_id = {qid})",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, round(list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos\n"
+        f"FROM e JOIN cand USING (vec_id) CROSS JOIN qr "
+        f"ORDER BY cos DESC, vec_id LIMIT {k}"
+    )
 
 
 def _bm25_filtered_sql(query: str, k: int, lang: str) -> str:
@@ -1254,6 +1356,7 @@ WHERE dropn.node IS NULL ORDER BY doc_id"""
     # (recall 1.0 + exact verification) — same oracle by construction
     out["embedding_dup_pairs_lsh"] = out["embedding_dup_pairs"]
     out["ivf_topk_trained"] = _ivf_trained_sql()
+    out["pq_topk"] = _pq_topk_sql()
     # the streaming twins must drain to exactly the batch answers
     out["sessionize_stream"] = out["sessionize"]
     out["windowed_counts_stream"] = out["windowed_counts"]

@@ -169,6 +169,13 @@ def main():
     }
     extra["ivf_recall_at_10"] = round(len(truth & approx) / 10, 3)
 
+    # --- PQ (ADC + exact refine) recall@10 vs brute force ----------------
+    books = ann.pq_train(emb, m=8, k=16, n_iter=2)
+    approx_pq = {
+        r["vec_id"] for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()
+    }
+    extra["pq_recall_at_10"] = round(len(truth & approx_pq) / 10, 3)
+
     # --- concurrent query serving (warmed session, 8 threads) ------------
     # the query-server shape: many independent top-k requests hitting one
     # warmed SparkSession concurrently, vs the same set evaluated as ONE

@@ -266,6 +266,126 @@ def ivf_topk_trained(
     )
 
 
+def _sub_l2_argmin(sub: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment by squared L2, computed in the
+    ALGEBRAIC form ||x||^2 - 2 x.c + ||c||^2 and compared ROUNDED to 6
+    decimals (ties -> lowest code) — the same engine-agnostic decision
+    rule as the IVF path, replayable in SQL."""
+    d2 = (
+        (sub * sub).sum(axis=1, keepdims=True)
+        - 2.0 * (sub @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return np.argmin(np.round(d2, 6), axis=1)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Product-quantization codebooks, shape (m, k, dim/m): the vector
+    is split into ``m`` subvectors and each subspace gets its own
+    ``k``-centroid L2 k-means, trained driver-side on a bounded sample
+    of NORMALIZED vectors (constant training cost at any corpus size —
+    same regime as ivf_train). Deterministic: sample = lowest vec_ids,
+    init = first k sample subvectors, updates are plain means (no
+    normalization — PQ approximates the vector, not its direction),
+    empty cells keep their previous centroid, every assignment compares
+    round(d^2, 6) with ties to the lowest code."""
+    rows = (
+        embeddings.orderBy("vec_id").limit(sample).select("vec_id", "embedding").collect()
+    )
+    v = _unit_rows(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows]))
+    dim = v.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        sub = v[:, j * dsub : (j + 1) * dsub]
+        cents = sub[:k].copy()
+        for _ in range(n_iter):
+            assign = _sub_l2_argmin(sub, cents)
+            for c in range(k):
+                members = sub[assign == c]
+                if members.size:
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
+    """(vec_id, codes array<int>) — distributed PQ encoding: one Arrow
+    batch = m small matmuls; the 64-dim float vector compresses to m
+    bytes of codes, the representation an ADC scan reads at 10^12
+    scale (the raw vectors stay in cold storage for the re-rank)."""
+    b = np.asarray(books, dtype=np.float64)
+    m, _, dsub = b.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(emb: pd.Series) -> pd.Series:
+        v = _unit_rows(np.stack(emb.to_numpy()).astype(np.float64))
+        codes = np.empty((v.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            codes[:, j] = _sub_l2_argmin(v[:, j * dsub : (j + 1) * dsub], b[j])
+        return pd.Series(codes.tolist())
+
+    return embeddings.select("vec_id", enc("embedding").alias("codes"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    books: np.ndarray,
+    k: int = 10,
+    refine: int = 50,
+) -> DataFrame:
+    """(vec_id, cos) — ADC (asymmetric distance computation) top-k:
+    approx_cos(q, x) = sum_j <q_j, codebook_j[code_j(x)]> read from a
+    broadcast (m x k) lookup table — no float vectors touched in the
+    scan — then the best ``refine`` candidates re-rank with the exact
+    cosine and the top-k of THOSE is returned. Candidate selection
+    orders by (round(approx, 6) DESC, vec_id), so the candidate set and
+    therefore the exact output is engine-agnostic (gated against a
+    DuckDB replay of the entire train/encode/ADC pipeline)."""
+    b = np.asarray(books, dtype=np.float64)
+    m, kk, dsub = b.shape
+    q_rows = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    qv = _unit_rows(np.asarray(q_rows[0]["embedding"], dtype=np.float64)[None, :])[0]
+    # the ADC lookup table: T[j, c] = <q_j, books[j, c]>
+    tbl = np.stack([b[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    codes = pq_encode(embeddings, books)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(codes_s: pd.Series) -> pd.Series:
+        cs = np.stack(codes_s.to_numpy()).astype(np.int64)
+        return pd.Series(np.round(tbl[np.arange(m)[None, :], cs].sum(axis=1), 6))
+
+    cand = (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", adc("codes").alias("approx"))
+        .orderBy(F.desc("approx"), F.asc("vec_id"))
+        .limit(refine)
+    )
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        embeddings.join(F.broadcast(cand.select("vec_id")), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
     """(vec_id, cell) — nearest-centroid assignment; centroids are the
     embeddings of vec_id 0..n_cells-1 (fixed, deterministic)."""

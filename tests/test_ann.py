@@ -55,3 +55,33 @@ def test_ivf_topk_trained_recall(emb):
     # probing every cell is exhaustive -> exact
     full = [r["vec_id"] for r in ann.ivf_topk_trained(emb, 0, cents, k=10, n_probe=16).collect()]
     assert full == truth
+
+
+def test_pq_roundtrip_and_recall(emb):
+    """PQ: deterministic codebooks/codes, codes in range, ADC+refine
+    top-k contains most of the exact top-k (refine bounds the miss)."""
+    books = ann.pq_train(emb, m=8, k=16, n_iter=2)
+    assert books.shape == (8, 16, 8)
+    assert np.array_equal(books, ann.pq_train(emb, m=8, k=16, n_iter=2))
+
+    codes = {r["vec_id"]: r["codes"] for r in ann.pq_encode(emb, books).collect()}
+    assert len(codes) == emb.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+    # partitioning-invariant encoding
+    codes2 = {
+        r["vec_id"]: r["codes"]
+        for r in ann.pq_encode(emb.repartition(7), books).collect()
+    }
+    assert codes == codes2
+
+    truth = [r["vec_id"] for r in ann.cosine_topk(emb, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()]
+    recall = len(set(truth) & set(approx)) / 10
+    assert recall >= 0.5, recall
+    # refine = corpus size degenerates to exact brute force
+    exact = [
+        (r["vec_id"], r["cos"])
+        for r in ann.pq_topk(emb, 0, books, k=10, refine=emb.count()).collect()
+    ]
+    brute = [(r["vec_id"], r["cos"]) for r in ann.cosine_topk(emb, 0, k=10).collect()]
+    assert exact == brute
