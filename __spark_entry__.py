@@ -471,6 +471,20 @@ def q_pq_topk(spark, sf):
     return ann.pq_topk(emb, query_vec_id=0, books=books, k=10, refine=PQ_REFINE)
 
 
+def q_ivf_pq_topk(spark, sf):
+    """The composed FAISS architecture end-to-end: trained coarse
+    quantizer prunes to n_probe cells, PQ codes ADC-scan only those,
+    exact re-rank — every decision rounded, whole pipeline replayed by
+    the oracle."""
+    emb = _emb(spark, sf)
+    cents = ann.ivf_train(emb, n_cells=IVF_CELLS, n_iter=IVF_ITER, sample=IVF_SAMPLE)
+    books = ann.pq_train(emb, m=PQ_M, k=PQ_K, n_iter=2, sample=IVF_SAMPLE)
+    return ann.ivf_pq_topk(
+        emb, query_vec_id=0, cents=cents, books=books,
+        k=10, n_probe=IVF_PROBE, refine=PQ_REFINE,
+    )
+
+
 def q_ivf_assign(spark, sf):
     return ann.ivf_assign(_emb(spark, sf), n_cells=32)
 
@@ -659,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_trained": q_ivf_topk_trained,
         "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "customers_without_orders": q_customers_without_orders,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -1019,6 +1034,48 @@ def _pq_topk_sql(
     )
 
 
+def _ivf_pq_sql(
+    qid: int = 0,
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    n_iter: int = 2,
+    sample: int = IVF_SAMPLE,
+    refine: int = PQ_REFINE,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ann.ivf_pq_topk — the composed FAISS shape: the
+    trained-IVF chain produces the probed-cell vector set, the PQ chain
+    ADC-scans only that set, then exact re-rank. Both chains reuse the
+    same rounded decision rules their standalone oracles validate."""
+    ivf = _ivf_trained_sql(qid, k, n_cells, n_iter, sample, n_probe, dim)
+    pq = _pq_topk_sql(qid, k, m, kc, n_iter, sample, refine, dim)
+    # splice: IVF CTEs up to `probe`, then restrict the PQ encode scan
+    ivf_ctes = ivf.split("WITH ", 1)[1].rsplit(",\nqr AS", 1)[0]
+    ivf_ctes = ivf_ctes.rsplit(",\ncand AS", 1)[0]  # drop IVF's own cand
+    pq_body = pq.split("WITH ", 1)[1]
+    # PQ re-defines e/n/s identically — drop its copies
+    pq_body = pq_body.split("sb0 AS", 1)[1]
+    pq_ctes_and_final = "sb0 AS" + pq_body
+    probed = (
+        "probedvecs AS (SELECT vec_id FROM assign "
+        "WHERE cell IN (SELECT cell FROM probe))"
+    )
+    # restrict every enc{j} scan to the probed set
+    for j in range(m):
+        marker = f"FROM nb{j} nb CROSS JOIN"
+        assert pq_ctes_and_final.count(marker) == 1
+        pq_ctes_and_final = pq_ctes_and_final.replace(
+            marker,
+            f"FROM (SELECT nb0.* FROM nb{j} nb0 "
+            f"JOIN probedvecs USING (vec_id)) nb CROSS JOIN",
+            1,
+        )
+    return "WITH " + ivf_ctes + ",\n" + probed + ",\n" + pq_ctes_and_final
+
+
 def _bm25_filtered_sql(query: str, k: int, lang: str) -> str:
     """bm25 oracle restricted to one language's docs; df stays
     corpus-global (post-filter semantics, matching bm25_topk_in)."""
@@ -1357,6 +1414,7 @@ WHERE dropn.node IS NULL ORDER BY doc_id"""
     out["embedding_dup_pairs_lsh"] = out["embedding_dup_pairs"]
     out["ivf_topk_trained"] = _ivf_trained_sql()
     out["pq_topk"] = _pq_topk_sql()
+    out["ivf_pq_topk"] = _ivf_pq_sql()
     # the streaming twins must drain to exactly the batch answers
     out["sessionize_stream"] = out["sessionize"]
     out["windowed_counts_stream"] = out["windowed_counts"]

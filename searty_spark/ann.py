@@ -342,6 +342,7 @@ def pq_topk(
     books: np.ndarray,
     k: int = 10,
     refine: int = 50,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cos) — ADC (asymmetric distance computation) top-k:
     approx_cos(q, x) = sum_j <q_j, codebook_j[code_j(x)]> read from a
@@ -358,7 +359,14 @@ def pq_topk(
     # the ADC lookup table: T[j, c] = <q_j, books[j, c]>
     tbl = np.stack([b[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)])
 
-    codes = pq_encode(embeddings, books)
+    # ``candidates`` (one doc_id column) restricts the ADC scan — the
+    # hook IVF composition uses to scan only the probed cells
+    scan = (
+        embeddings
+        if candidates is None
+        else embeddings.join(candidates.select("vec_id"), "vec_id", "left_semi")
+    )
+    codes = pq_encode(scan, books)
 
     @F.pandas_udf(T.DoubleType())
     def adc(codes_s: pd.Series) -> pd.Series:
@@ -383,6 +391,32 @@ def pq_topk(
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    cents: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 50,
+) -> DataFrame:
+    """The full FAISS-style IVF+PQ architecture: probe the ``n_probe``
+    trained-IVF cells nearest the query, ADC-scan ONLY those cells'
+    vectors through the PQ codes, exact-rerank the best ``refine``. At
+    10^12 vectors this is the shape that works: the coarse quantizer
+    prunes the scan to n_probe/n_cells of the data and the PQ codes
+    make what remains a table-lookup scan over m-byte rows."""
+    assign = ivf_assign_centroids(embeddings, cents)
+    q_rows = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    qv = _unit_rows(np.asarray(q_rows[0]["embedding"], dtype=np.float64)[None, :])[0]
+    c = np.asarray(cents, dtype=np.float64)
+    probe = np.argsort(-np.round(c @ qv, 6), kind="stable")[:n_probe].tolist()
+    cand = assign.filter(F.col("cell").isin(probe)).select("vec_id")
+    return pq_topk(
+        embeddings, query_vec_id, books, k=k, refine=refine, candidates=cand
     )
 
 

@@ -85,3 +85,25 @@ def test_pq_roundtrip_and_recall(emb):
     ]
     brute = [(r["vec_id"], r["cos"]) for r in ann.cosine_topk(emb, 0, k=10).collect()]
     assert exact == brute
+
+
+def test_ivf_pq_composition(emb):
+    """IVF+PQ: probing ALL cells degenerates to plain PQ; fewer probes
+    return a subset-quality result with a sane recall floor."""
+    cents = ann.ivf_train(emb, n_cells=8, n_iter=2)
+    books = ann.pq_train(emb, m=8, k=16, n_iter=2)
+    full = [
+        (r["vec_id"], r["cos"])
+        for r in ann.ivf_pq_topk(emb, 0, cents, books, k=10, n_probe=8, refine=50).collect()
+    ]
+    pq_only = [
+        (r["vec_id"], r["cos"])
+        for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()
+    ]
+    assert full == pq_only  # n_probe == n_cells: coarse stage prunes nothing
+    truth = {r["vec_id"] for r in ann.cosine_topk(emb, 0, k=10).collect()}
+    probed = {
+        r["vec_id"]
+        for r in ann.ivf_pq_topk(emb, 0, cents, books, k=10, n_probe=4, refine=50).collect()
+    }
+    assert len(truth & probed) / 10 >= 0.4
