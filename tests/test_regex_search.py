@@ -61,3 +61,37 @@ def test_regex_search_equals_brute_scan(spark, small_corpus, pattern):
         for r in regex_search_segments(small_corpus, seg, pattern, n_shards=2).collect()
     ]
     assert got_seg == want, pattern
+
+
+def test_required_literals_sound_property():
+    """Property (hypothesis): for any pattern built from a constrained
+    grammar and any matching text, EVERY required literal is a
+    substring of the text — the soundness contract that makes index
+    pruning safe."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    atom = st.one_of(
+        st.text(alphabet="abcxyz ", min_size=1, max_size=6),  # literal run
+        st.sampled_from([".", "[ab]", "(de|fg)", "x?", "y*", "z+", r"\d", "(hi)?"]),
+    )
+    patterns = st.lists(atom, min_size=1, max_size=6).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(patterns, st.data())
+    def check(pattern, data):
+        try:
+            rx = re.compile(pattern)
+        except re.error:
+            return
+        lits = required_literals(pattern)
+        # generate a text and only test when it matches
+        text = data.draw(st.text(alphabet="abcdexyz hifg0123", max_size=40))
+        if rx.search(text) is None:
+            return
+        for lit in lits:
+            assert lit in text, (pattern, lits, text)
+
+    check()
