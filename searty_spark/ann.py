@@ -112,12 +112,20 @@ def lsh_band_keys(
     a JVM equi-join on uniform (band, key) hash keys.
 
     Collision probability per band for angle theta is
-    (1 - theta/pi)^rows_per_band, so pruning power grows with the
-    duplicate threshold: at cos >= 0.9 a 4-bit band keeps ~8% of
-    random pairs per band; at the adversarially-low 0.45 used by the
-    test gate it keeps ~18% per band (recall over 16 bands is still
-    1.0 on the test corpora, asserted by the driver gate vs the exact
-    all-pairs oracle)."""
+    (1 - theta/pi)^rows_per_band, so BOTH pruning power and recall
+    depend on the threshold's margin over the data: at a production
+    near-dup threshold (cos >= 0.9) a pair at the boundary collides in
+    some band with probability 1 - 2e-13 — recall is effectively exact
+    AND ~92% of random pairs are pruned per band. At the adversarially
+    low 0.45 the driver gate uses, a boundary pair misses all 16 bands
+    with probability ~4.5%: measured recall is 1.0 on the 500-vector
+    sf0.001/sf0.01 corpora (asserted by the driver gate vs the exact
+    all-pairs oracle) and 141/144 = 0.979 on the 2000-vector sf0.1
+    corpus — the expected sign-LSH behavior when the threshold has no
+    margin over the background similarity, not an implementation
+    defect (raise n_bands to trade compute for recall; at this
+    threshold high recall necessarily approaches the all-pairs cost,
+    which is why the exact twin exists)."""
     n_bits = rows_per_band * n_bands
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
