@@ -6,14 +6,17 @@ is a ``codec`` argument:
 
 - ``"fake"`` (CI default): features derived deterministically from the
   payload bytes — stable and testable with no media libraries.
-- ``"real"``: PIL for images, soundfile for audio (probed at call time
-  on each executor); a missing library raises NotImplementedError, a
-  payload that fails to decode yields an ``ok=False`` row (corrupt
+- ``"real"``: PIL for images, soundfile for audio; a missing library
+  raises NotImplementedError (loudly, on the executor that lacks it),
+  a payload that fails to decode yields an ``ok=False`` row (corrupt
   media is routine at 100 TB, it must not kill the job). Video needs
   ffmpeg, which has no in-container probe target — always
   NotImplementedError under "real".
-- ``"auto"``: "real" when every probed library is present, else
-  "fake" — the mode tests run under both environments unchanged.
+- ``"auto"``: resolved ONCE on the driver — "real" when every probed
+  library is present there, else "fake". Executors never re-probe for
+  the mode decision, so one job can never silently mix real and fake
+  feature semantics in the same output column (heterogeneous clusters
+  fail loudly under "real" instead).
 
 Batch shape matters at 100 TB: media bytes dominate row size, so the
 extractors run via ``mapInPandas`` with a small
@@ -149,10 +152,15 @@ def extract_features(
     given."""
     if codec is None:
         codec = "fake" if deterministic_fake else "real"
+    # resolve 'auto' ONCE, driver-side: on a cluster where only some
+    # executors have PIL/soundfile, a per-executor probe would silently
+    # mix 'real' and 'fake' feature semantics in one output column.
+    # Executors see a concrete mode; under 'real' a missing library
+    # fails loudly (NotImplementedError in _real_features).
+    mode = _resolve_codec(codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mode = _resolve_codec(codec)
-        image_mod, sound_mod = _codec_modules()
+        image_mod, sound_mod = _codec_modules() if mode == "real" else (None, None)
         for pdf in batches:
             payloads = pdf["payload"]
             if mode == "fake":
@@ -254,6 +262,8 @@ def resize_plan(
     cluster, never shuffled)."""
     if codec is None:
         codec = "fake" if deterministic_fake else "real"
+    # driver-side 'auto' resolution — same rationale as extract_features
+    mode = _resolve_codec(codec)
     imgs = media.filter(F.col("kind") == "image")
     w = F.col("meta.width").cast("double")
     h = F.col("meta.height").cast("double")
@@ -266,8 +276,7 @@ def resize_plan(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mode = _resolve_codec(codec)
-        image_mod, _ = _codec_modules()
+        image_mod, _ = _codec_modules() if mode == "real" else (None, None)
         if mode == "real" and image_mod is None:
             raise NotImplementedError("real image resize needs PIL — not installed")
         for pdf in batches:

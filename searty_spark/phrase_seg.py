@@ -239,7 +239,12 @@ def _shard_phrase_bm25(
         docs, tfs, dls = decode_segment_scores(row, blocks)
         docs = docs.astype(np.int64)
         idx = np.searchsorted(docs, mdocs)
-        if not np.array_equal(docs[idx], mdocs):
+        # clip before gathering: idx == len(docs) (match doc beyond every
+        # decoded posting — corrupted/inconsistent index) must surface as
+        # the diagnostic below, not as an IndexError on docs[idx]
+        if (idx >= docs.size).any() or not np.array_equal(
+            docs[np.minimum(idx, docs.size - 1)], mdocs
+        ):
             raise AssertionError("phrase match doc missing from term postings")
         scores += _impacts(tfs, dls, n_docs, avgdl, _require_df(row))[idx]
     return pd.DataFrame(

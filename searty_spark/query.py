@@ -272,8 +272,18 @@ def required_literals(pattern: str) -> list[str]:
     - groups (...) and classes [...] contribute nothing (skipped);
     - ? * {0,..} make the preceding char optional -> drop it;
     - . \\d anchors etc. break the current run;
-    - escaped specials (\\.) count as the literal char.
+    - escaped specials (\\.) count as the literal char;
+    - any inline flag group carrying i/x/u (e.g. '(?i)spark',
+      '(?i:...)', '(?ix-m:...)') voids everything: a global '(?i)'
+      leaks case-insensitivity into the surrounding literals (a doc
+      matching only 'SPARK' lacks 'spark''s trigrams), and '(?x)'
+      free-spacing makes literal whitespace in the pattern optional —
+      either would break soundness, so bail to the unpruned scan.
     Only runs of length >= NGRAM_N are useful to the index."""
+    import re as _re
+
+    if _re.search(r"\(\?[a-zA-Z\-]*[iux]", pattern):
+        return []
     runs: list[str] = []
     cur: list[str] = []
 

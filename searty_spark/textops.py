@@ -146,8 +146,12 @@ def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
 def normalize_text(docs: DataFrame) -> DataFrame:
     """(doc_id, norm_text) — canonical text form for dedup/hashing:
     lowercase, whitespace runs collapsed to single spaces, trimmed.
-    Pure JVM SQL (one projection, no shuffle) — at 100 TB this is a
-    map-only pass that fuses into whatever scan follows it."""
+    The projection itself is pure JVM SQL and map-only; the trailing
+    ``orderBy`` exists solely for deterministic gating/display and is
+    NOT part of the 100 TB plan shape — a pipeline composing this
+    should take the unsorted projection (Catalyst drops the sort when
+    a downstream op doesn't need it, but don't rely on that: at scale,
+    call ``.select(...)`` forms of this directly or strip the sort)."""
     return docs.select(
         "doc_id",
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(

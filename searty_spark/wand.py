@@ -225,22 +225,35 @@ class TermDfClient:
     _ABSENT = object()
 
     def __init__(self, spark, index_dir: str):
+        import threading
+
         self._df = spark.read.parquet(f"{index_dir}/dictionary").select(
             "term", "df_global"
         )
         self._cache: dict[str, object] = {}
+        # lookup() is called from concurrent query-server threads
+        # (cli.py bench-queries --threads is the in-repo instance of the
+        # deployment shape); the lock makes read-check-fetch-update
+        # explicitly safe rather than relying on the GIL, and bounds the
+        # worst case to one fetch per cold term instead of duplicates
+        self._lock = threading.Lock()
 
     def lookup(self, terms) -> dict[str, int]:
-        missing = [t for t in terms if t not in self._cache]
+        with self._lock:
+            missing = [t for t in terms if t not in self._cache]
         if missing:
+            # the Spark collect runs OUTSIDE the lock (it can take
+            # hundreds of ms; serializing it would serialize the server)
             rows = self._df.filter(F.col("term").isin(missing)).collect()
-            for r in rows:
-                self._cache[r["term"]] = int(r["df_global"])
-            for t in missing:
-                self._cache.setdefault(t, self._ABSENT)
-        return {
-            t: v for t in terms if (v := self._cache.get(t)) is not self._ABSENT
-        }
+            with self._lock:
+                for r in rows:
+                    self._cache[r["term"]] = int(r["df_global"])
+                for t in missing:
+                    self._cache.setdefault(t, self._ABSENT)
+        with self._lock:
+            return {
+                t: v for t in terms if (v := self._cache.get(t)) is not self._ABSENT
+            }
 
 
 def _with_df_global(pruned: DataFrame, terms, df_lookup) -> DataFrame:

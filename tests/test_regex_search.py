@@ -22,6 +22,15 @@ EXTRACT_CASES = {
     "[abc]xyz[^d]": ["xyz"],
     "^hello$": ["hello"],
     "...": [],
+    # inline flags void everything (soundness: '(?i)spark' matches
+    # 'SPARK', which lacks 'spark''s trigrams; '(?x)' drops literal
+    # whitespace) — bail to the unpruned scan
+    "(?i)spark": [],
+    "(?i:spark)join": [],
+    "(?ix-m:ab)cde": [],
+    "(?x)a b c": [],
+    "(?s)abc.def": ["abc", "def"],  # s only changes '.', runs unaffected
+    "(?:spark)join": ["join"],      # plain non-capturing group: no flags
 }
 
 
@@ -75,7 +84,10 @@ def test_required_literals_sound_property():
 
     atom = st.one_of(
         st.text(alphabet="abcxyz ", min_size=1, max_size=6),  # literal run
-        st.sampled_from([".", "[ab]", "(de|fg)", "x?", "y*", "z+", r"\d", "(hi)?"]),
+        st.sampled_from(
+            [".", "[ab]", "(de|fg)", "x?", "y*", "z+", r"\d", "(hi)?",
+             "(?i:de)", "(?i)", "(?s:fg)"]
+        ),
     )
     patterns = st.lists(atom, min_size=1, max_size=6).map("".join)
 
@@ -88,7 +100,9 @@ def test_required_literals_sound_property():
             return
         lits = required_literals(pattern)
         # generate a text and only test when it matches
-        text = data.draw(st.text(alphabet="abcdexyz hifg0123", max_size=40))
+        # uppercase letters so an unsound '(?i)' extraction would be
+        # caught: '(?i)abc' matches 'ABC', which contains no lowercase run
+        text = data.draw(st.text(alphabet="abcdexyz hifg0123ABCXYZ", max_size=40))
         if rx.search(text) is None:
             return
         for lit in lits:
