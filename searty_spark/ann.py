@@ -351,15 +351,25 @@ def pq_topk(
     k: int = 10,
     refine: int = 50,
     candidates: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cos) — ADC (asymmetric distance computation) top-k:
     approx_cos(q, x) = sum_j <q_j, codebook_j[code_j(x)]> read from a
-    broadcast (m x k) lookup table — no float vectors touched in the
-    scan — then the best ``refine`` candidates re-rank with the exact
-    cosine and the top-k of THOSE is returned. Candidate selection
-    orders by (round(approx, 6) DESC, vec_id), so the candidate set and
-    therefore the exact output is engine-agnostic (gated against a
-    DuckDB replay of the entire train/encode/ADC pipeline)."""
+    broadcast (m x k) lookup table, then the best ``refine`` candidates
+    re-rank with the exact cosine and the top-k of THOSE is returned.
+    Candidate selection orders by (round(approx, 6) DESC, vec_id), so
+    the candidate set and therefore the exact output is engine-agnostic
+    (gated against a DuckDB replay of the entire train/encode/ADC
+    pipeline).
+
+    ``codes`` (vec_id, codes array<int>) supplies PRECOMPUTED PQ codes
+    — the build-once/query-many shape (ann_index.write_ann_index): the
+    ADC scan then touches m-byte code rows only and the raw float
+    vectors stay cold until the ``refine``-row exact re-rank. Without
+    it, codes are derived in-query from the embeddings (self-contained
+    fallback — correct, but every query re-encodes the scan set).
+    ``candidates`` (one vec_id column) restricts the scan either way —
+    the hook the IVF composition uses to scan only the probed cells."""
     b = np.asarray(books, dtype=np.float64)
     m, kk, dsub = b.shape
     q_rows = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
@@ -367,14 +377,16 @@ def pq_topk(
     # the ADC lookup table: T[j, c] = <q_j, books[j, c]>
     tbl = np.stack([b[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)])
 
-    # ``candidates`` (one doc_id column) restricts the ADC scan — the
-    # hook IVF composition uses to scan only the probed cells
-    scan = (
-        embeddings
-        if candidates is None
-        else embeddings.join(candidates.select("vec_id"), "vec_id", "left_semi")
-    )
-    codes = pq_encode(scan, books)
+    if codes is None:
+        scan = (
+            embeddings
+            if candidates is None
+            else embeddings.join(candidates.select("vec_id"), "vec_id", "left_semi")
+        )
+        codes = pq_encode(scan, books)
+    elif candidates is not None:
+        codes = codes.join(candidates.select("vec_id"), "vec_id", "left_semi")
+    codes = codes.select("vec_id", "codes")
 
     @F.pandas_udf(T.DoubleType())
     def adc(codes_s: pd.Series) -> pd.Series:
@@ -410,21 +422,38 @@ def ivf_pq_topk(
     k: int = 10,
     n_probe: int = 4,
     refine: int = 50,
+    assign: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The full FAISS-style IVF+PQ architecture: probe the ``n_probe``
     trained-IVF cells nearest the query, ADC-scan ONLY those cells'
     vectors through the PQ codes, exact-rerank the best ``refine``. At
     10^12 vectors this is the shape that works: the coarse quantizer
     prunes the scan to n_probe/n_cells of the data and the PQ codes
-    make what remains a table-lookup scan over m-byte rows."""
-    assign = ivf_assign_centroids(embeddings, cents)
+    make what remains a table-lookup scan over m-byte rows.
+
+    ``assign`` (vec_id, cell) and ``codes`` (vec_id, codes) supply the
+    PERSISTED build artifacts (ann_index.write_ann_index); when the two
+    are one table partitioned by cell, the probe filter becomes
+    partition pruning and a query never touches unprobed cells' files.
+    Without them each is recomputed in-query (fallback)."""
     q_rows = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
     qv = _unit_rows(np.asarray(q_rows[0]["embedding"], dtype=np.float64)[None, :])[0]
     c = np.asarray(cents, dtype=np.float64)
     probe = np.argsort(-np.round(c @ qv, 6), kind="stable")[:n_probe].tolist()
+    if codes is not None and "cell" in codes.columns:
+        # artifact table carries the cell: probe = a partition filter on
+        # the codes scan itself, no join at all
+        probed = codes.filter(F.col("cell").isin(probe)).select("vec_id", "codes")
+        return pq_topk(
+            embeddings, query_vec_id, books, k=k, refine=refine, codes=probed
+        )
+    if assign is None:
+        assign = ivf_assign_centroids(embeddings, cents)
     cand = assign.filter(F.col("cell").isin(probe)).select("vec_id")
     return pq_topk(
-        embeddings, query_vec_id, books, k=k, refine=refine, candidates=cand
+        embeddings, query_vec_id, books, k=k, refine=refine, candidates=cand,
+        codes=codes,
     )
 
 

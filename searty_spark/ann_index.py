@@ -1,0 +1,164 @@
+"""Persisted ANN index: build once, query many.
+
+The reference's core contract is that the expensive structure is a
+BUILD product, not a query by-product (its inverted index tables,
+ref lib/database/schema.sql:19-23, are written by the indexer and only
+read at query time). This module gives the ANN surface the same shape:
+
+    <dir>/vectors/cell=N/   (vec_id, codes array<int>) parquet,
+                            hive-partitioned by IVF cell — a query's
+                            probe set becomes a PARTITION FILTER, so
+                            unprobed cells' files are never opened
+    <dir>/centroids.json    trained IVF codebook (n_cells x dim)
+    <dir>/codebooks.json    trained PQ codebooks (m x k x dim/m)
+    <dir>/ann_stats.json    {format, params, n_vectors}
+
+Scale shape: training is driver-side on a bounded sample (constant
+cost at any corpus size — see ann.ivf_train); assignment + encoding is
+ONE distributed pass over the embeddings (a single pandas UDF emits
+(cell, codes) together, no join between an assign table and a codes
+table); a query reads m-byte code rows from n_probe/n_cells of the
+files and touches raw float vectors only for the ``refine`` exact
+re-rank — at 10^12 vectors the raw vectors stay in cold storage.
+
+Float round-trip: centroids/codebooks serialize via JSON, whose float
+repr round-trips IEEE doubles exactly, so a loaded index reproduces
+bit-identical decisions (gated: the stored-artifact queries share the
+recompute path's DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searty_spark.ann import (
+    _sub_l2_argmin,
+    _unit_rows,
+    ivf_pq_topk,
+    ivf_train,
+    pq_topk,
+    pq_train,
+)
+
+ANN_FORMAT = 1
+
+
+def _assign_encode_udf(cents: np.ndarray, books: np.ndarray):
+    """One Arrow-batch kernel producing (cell, codes) together — the
+    build pass is a single map over the embeddings, no shuffle, no
+    assign-join-codes."""
+    c = np.asarray(cents, dtype=np.float64)
+    b = np.asarray(books, dtype=np.float64)
+    m, _, dsub = b.shape
+
+    @F.pandas_udf("cell long, codes array<int>")
+    def enc(emb: pd.Series) -> pd.DataFrame:
+        v = _unit_rows(np.stack(emb.to_numpy()).astype(np.float64))
+        # same rounded decision rules as ivf_assign_centroids/pq_encode
+        cell = np.argmax(np.round(v @ c.T, 6), axis=1).astype(np.int64)
+        codes = np.empty((v.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            codes[:, j] = _sub_l2_argmin(v[:, j * dsub : (j + 1) * dsub], b[j])
+        return pd.DataFrame({"cell": cell, "codes": codes.tolist()})
+
+    return enc
+
+
+def write_ann_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_cells: int = 32,
+    n_iter: int = 2,
+    sample: int = 4096,
+    m: int = 8,
+    pq_k: int = 16,
+) -> dict:
+    """Train (bounded driver-side sample) + one distributed
+    assign/encode pass + partitioned write. Returns the stats dict."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cents = ivf_train(embeddings, n_cells=n_cells, n_iter=n_iter, sample=sample)
+    books = pq_train(embeddings, m=m, k=pq_k, n_iter=n_iter, sample=sample)
+    enc = _assign_encode_udf(cents, books)
+    vectors = embeddings.select("vec_id", enc("embedding").alias("vc")).select(
+        "vec_id", F.col("vc.cell").alias("cell"), F.col("vc.codes").alias("codes")
+    )
+    vectors.write.partitionBy("cell").mode("overwrite").parquet(str(out / "vectors"))
+    n_vectors = embeddings.sparkSession.read.parquet(str(out / "vectors")).count()
+    (out / "centroids.json").write_text(json.dumps(cents.tolist()))
+    (out / "codebooks.json").write_text(json.dumps(books.tolist()))
+    stats = {
+        "format": ANN_FORMAT,
+        "n_cells": n_cells,
+        "n_iter": n_iter,
+        "sample": sample,
+        "m": m,
+        "pq_k": pq_k,
+        "dim": int(np.asarray(cents).shape[1]),
+        "n_vectors": int(n_vectors),
+    }
+    (out / "ann_stats.json").write_text(json.dumps(stats))
+    return stats
+
+
+def load_ann_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[dict, np.ndarray, np.ndarray, DataFrame]:
+    """-> (stats, centroids, codebooks, vectors) with a fail-fast
+    format check (same policy as index.load_stats)."""
+    d = Path(index_dir)
+    stats = json.loads((d / "ann_stats.json").read_text())
+    if stats.get("format") != ANN_FORMAT:
+        raise ValueError(
+            f"ANN index at {index_dir} is format {stats.get('format')}, this "
+            f"build reads format {ANN_FORMAT} — rebuild with write_ann_index"
+        )
+    cents = np.asarray(json.loads((d / "centroids.json").read_text()), dtype=np.float64)
+    books = np.asarray(json.loads((d / "codebooks.json").read_text()), dtype=np.float64)
+    vectors = spark.read.parquet(str(d / "vectors"))
+    return stats, cents, books, vectors
+
+
+def pq_topk_indexed(
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec_id: int,
+    k: int = 10,
+    refine: int = 50,
+) -> DataFrame:
+    """ADC top-k over the STORED codes (whole-corpus scan, no coarse
+    pruning): the scan reads (vec_id, codes) rows only; ``embeddings``
+    is touched for the query vector and the ``refine``-row re-rank."""
+    spark = embeddings.sparkSession
+    _, _, books, vectors = load_ann_index(spark, index_dir)
+    return pq_topk(
+        embeddings, query_vec_id, books, k=k, refine=refine,
+        codes=vectors.select("vec_id", "codes"),
+    )
+
+
+def ivf_pq_topk_indexed(
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 50,
+) -> DataFrame:
+    """The production query path: stored centroids pick the probe
+    cells on the driver, the probe set prunes the partitioned codes
+    scan at file-listing time, ADC + exact re-rank as in ann.pq_topk.
+    Result-identical to the self-contained ann.ivf_pq_topk (both gated
+    against the same DuckDB replay)."""
+    spark = embeddings.sparkSession
+    _, cents, books, vectors = load_ann_index(spark, index_dir)
+    return ivf_pq_topk(
+        embeddings, query_vec_id, cents, books,
+        k=k, n_probe=n_probe, refine=refine, codes=vectors,
+    )

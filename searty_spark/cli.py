@@ -135,6 +135,40 @@ def cmd_query(args) -> None:
                 print(f"{rank}\t{r['doc_id']}\t{r['score']}")
 
 
+def cmd_build_ann(args) -> None:
+    """Persisted ANN index build (ann_index.write_ann_index): trained
+    IVF centroids + PQ codebooks + cell-partitioned codes parquet."""
+    from searty_spark.ann_index import write_ann_index
+    from searty_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-build-ann")
+    emb = spark.read.parquet(args.embeddings)
+    t0 = time.perf_counter()
+    stats = write_ann_index(
+        emb, args.out, n_cells=args.cells, n_iter=args.iters,
+        sample=args.sample, m=args.m, pq_k=args.pq_k,
+    )
+    print(json.dumps({"wall_sec": time.perf_counter() - t0, **stats}))
+
+
+def cmd_query_ann(args) -> None:
+    """Top-k ANN query against the persisted artifact: probe cells from
+    the stored centroids (partition-pruned codes scan), ADC, exact
+    re-rank against the raw embeddings."""
+    from searty_spark.ann_index import ivf_pq_topk_indexed
+    from searty_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-query-ann")
+    emb = spark.read.parquet(args.embeddings)
+    for qid in args.vec_ids:
+        rows = ivf_pq_topk_indexed(
+            emb, args.index, int(qid), k=args.k,
+            n_probe=args.probe, refine=args.refine,
+        ).collect()
+        for rank, r in enumerate(rows, 1):
+            print(f"{qid}\t{rank}\t{r['vec_id']}\t{r['cos']}")
+
+
 def cmd_describe(args) -> None:
     """Index describe (ref lib/indexer/describe.go:11-29): global stats,
     per-shard segment counts, heaviest terms."""
@@ -189,14 +223,55 @@ def cmd_bench_queries(args) -> None:
     else:
         dic = TermDfClient(spark, args.index)
 
+    docs = None
+    if args.mode == "regex":
+        from pathlib import Path
+
+        docs_path = Path(args.index) / "documents"
+        if not docs_path.exists():
+            raise SystemExit("--mode regex needs a --store-docs index")
+        docs = spark.read.parquet(str(docs_path)).cache()
+        docs.count()
+
     def one(q: str) -> float:
         t0 = time.perf_counter()
-        wand_topk(
-            seg, None, q, k=args.k,
-            n_docs=stats["n_docs"], avgdl=stats["avgdl"],
-            n_shards=stats["n_shards"],
-            df_lookup=dic.lookup(sorted(set(tokenize(q)))),
-        ).collect()
+        if args.mode == "lisp":
+            # kind-filtered composite terms, same warm path as
+            # index.query_index_lisp but against the cached segments
+            from searty_spark.index import lisp_term
+            from searty_spark.lisp_tokenizer import lisp_tokenize
+
+            terms = sorted(
+                {lisp_term(args.kind, t) for t, _, kd in lisp_tokenize(q) if kd == args.kind}
+            )
+            wand_topk(
+                seg, None, "", k=args.k,
+                n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+                n_shards=stats["n_shards"],
+                df_lookup=dic.lookup(terms), terms=terms,
+            ).collect()
+        elif args.mode == "phrase":
+            from searty_spark.phrase_seg import phrase_bm25_topk_segments
+
+            phrase_bm25_topk_segments(
+                seg, q, k=args.k,
+                n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+                n_shards=stats["n_shards"],
+                df_lookup=dic.lookup(sorted(set(tokenize(q)))),
+            ).collect()
+        elif args.mode == "regex":
+            from searty_spark.query import regex_search_segments
+
+            regex_search_segments(
+                docs, seg, q, n_shards=stats["n_shards"]
+            ).collect()
+        else:
+            wand_topk(
+                seg, None, q, k=args.k,
+                n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+                n_shards=stats["n_shards"],
+                df_lookup=dic.lookup(sorted(set(tokenize(q)))),
+            ).collect()
         return time.perf_counter() - t0
 
     lats = []
@@ -224,6 +299,7 @@ def cmd_bench_queries(args) -> None:
         json.dumps(
             {
                 "n": len(lats),
+                "mode": args.mode,
                 "threads": args.threads,
                 "p50": lats[len(lats) // 2],
                 "p95": lats[int(len(lats) * 0.95)],
@@ -286,6 +362,25 @@ def main(argv=None) -> None:
     d.add_argument("--top", type=int, default=10)
     d.set_defaults(fn=cmd_describe)
 
+    ba = sub.add_parser("build-ann")
+    ba.add_argument("--embeddings", required=True, help="parquet with (vec_id, embedding)")
+    ba.add_argument("--out", required=True)
+    ba.add_argument("--cells", type=int, default=32)
+    ba.add_argument("--iters", type=int, default=2)
+    ba.add_argument("--sample", type=int, default=4096)
+    ba.add_argument("--m", type=int, default=8)
+    ba.add_argument("--pq-k", type=int, default=16)
+    ba.set_defaults(fn=cmd_build_ann)
+
+    qa = sub.add_parser("query-ann")
+    qa.add_argument("--index", required=True)
+    qa.add_argument("--embeddings", required=True)
+    qa.add_argument("-k", type=int, default=10)
+    qa.add_argument("--probe", type=int, default=4)
+    qa.add_argument("--refine", type=int, default=50)
+    qa.add_argument("vec_ids", nargs="+")
+    qa.set_defaults(fn=cmd_query_ann)
+
     bq = sub.add_parser("bench-queries")
     bq.add_argument("--index", required=True)
     bq.add_argument("-k", type=int, default=10)
@@ -298,6 +393,14 @@ def main(argv=None) -> None:
     bq.add_argument("--repeat", type=_repeat, default=5)
     bq.add_argument("--threads", type=int, default=1,
                     help="concurrent request threads (query-server shape)")
+    bq.add_argument("--mode", default="trigram",
+                    choices=["trigram", "lisp", "phrase", "regex"],
+                    help="warm query path to exercise: trigram BM25 top-k "
+                         "(default), kind-filtered lisp BM25, ranked phrase "
+                         "(segments), or trigram-accelerated regex (needs a "
+                         "--store-docs index)")
+    bq.add_argument("--kind", default="SYMBOL",
+                    help="token kind for --mode lisp")
     bq.add_argument("--full-driver-dict", action="store_true",
                     help="preload the ENTIRE term->df dictionary to the driver "
                          "(bounded only for small vocabularies; default is the "

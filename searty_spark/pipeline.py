@@ -31,18 +31,35 @@ def clean_corpus(
     min_tokens: int = 16,
     min_uniq_ratio: float = 0.3,
     jacc_threshold: float = 0.2,
+    quality: str = "basic",
 ) -> DataFrame:
-    """(doc_id) — the surviving documents, ascending."""
-    w = F.split(F.col("text"), " ")
-    q = docs.select(
-        "doc_id",
-        "text",
-        F.size(w).alias("n_tok"),
-        (F.size(F.array_distinct(w)) / F.size(w)).alias("ur"),
-    )
-    base = q.filter(
-        (F.col("n_tok") >= min_tokens) & (F.col("ur") >= min_uniq_ratio)
-    ).select("doc_id", "text")
+    """(doc_id) — the surviving documents, ascending.
+
+    ``quality`` selects the stage-1 gate: "basic" (token count +
+    lexical diversity, the original rule) or "gopher" — the full
+    doc-length-conditioned textops.quality_gopher rule set (length
+    bounds, mean word length, symbol ratio, alpha-word ratio,
+    top-word repetition)."""
+    if quality == "gopher":
+        from searty_spark.textops import quality_gopher
+
+        keep = quality_gopher(docs, min_words=min_tokens).filter(
+            F.col("gopher_pass")
+        ).select("doc_id")
+        base = docs.join(keep, "doc_id", "left_semi").select("doc_id", "text")
+    elif quality == "basic":
+        w = F.split(F.col("text"), " ")
+        q = docs.select(
+            "doc_id",
+            "text",
+            F.size(w).alias("n_tok"),
+            (F.size(F.array_distinct(w)) / F.size(w)).alias("ur"),
+        )
+        base = q.filter(
+            (F.col("n_tok") >= min_tokens) & (F.col("ur") >= min_uniq_ratio)
+        ).select("doc_id", "text")
+    else:
+        raise ValueError(f"quality must be basic|gopher, got {quality!r}")
     keep_exact = base.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )

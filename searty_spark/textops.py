@@ -43,6 +43,78 @@ def quality_score(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def quality_gopher(
+    docs: DataFrame,
+    min_words: int = 16,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    max_top_word_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher/CCNet-style repetition- and composition-conditioned
+    quality dimensions (Rae et al. 2021 §A1.1 rule shapes, re-derived
+    over this corpus's whitespace tokens) + the composite pass flag:
+
+    - n_words, mean_word_len — doc-length conditioning bounds;
+    - symbol_ratio — chars outside [a-z0-9 ] over all chars (boiler-
+      plate/markup detector);
+    - alpha_word_ratio — words containing at least one letter (tables
+      of numbers / markup fail this);
+    - stopword_ratio — function-word presence (natural prose floor);
+    - top_word_ratio — most frequent word's share (the Gopher
+      repetition signal: templated/spun pages repeat one token);
+    - gopher_pass — AND of the thresholds, every comparison on the
+      ROUNDED (6dp) ratio so the decision is engine-agnostic.
+
+    Plan: per-doc scalars are one codegen'd projection; the top-word
+    share is one explode -> (doc, word) count -> per-doc max — two
+    partial-aggregated shuffles keyed by doc_id, then a shuffle join
+    back. At 10^12 docs all three stages are uniform-keyed (doc_id);
+    nothing is driver-side."""
+    w = words_col()
+    n_words = F.size(w).cast("long")
+    n_chars = F.char_length("text").cast("long")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_sym = n_chars - F.char_length(F.regexp_replace(F.col("text"), "[^a-z0-9 ]", ""))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round((n_chars - n_words + 1) / n_words, 6).alias("mean_word_len"),
+        F.round(n_sym / n_chars, 6).alias("symbol_ratio"),
+        F.round(n_alpha / n_words, 6).alias("alpha_word_ratio"),
+        F.round(n_stop / n_words, 6).alias("stopword_ratio"),
+    )
+    topw = (
+        docs.select("doc_id", F.explode(w).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    j = base.join(topw, "doc_id")
+    top_ratio = F.round(F.col("top_c") / F.col("n_words"), 6)
+    gopher_pass = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (top_ratio <= max_top_word_ratio)
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "stopword_ratio",
+        top_ratio.alias("top_word_ratio"),
+        gopher_pass.alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — order-insensitive content fingerprint: md5 over
     the sorted distinct token set. Used for near-dup bucketing and

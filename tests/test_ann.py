@@ -107,3 +107,83 @@ def test_ivf_pq_composition(emb):
         for r in ann.ivf_pq_topk(emb, 0, cents, books, k=10, n_probe=4, refine=50).collect()
     }
     assert len(truth & probed) / 10 >= 0.4
+
+
+def test_ann_index_roundtrip(emb, tmp_path):
+    """write_ann_index -> load_ann_index: artifacts round-trip exactly
+    (JSON float repr is lossless for doubles) and the stored (cell,
+    codes) table equals the in-query assign/encode pass."""
+    from searty_spark import ann_index
+
+    d = str(tmp_path / "ann")
+    stats = ann_index.write_ann_index(
+        emb, d, n_cells=8, n_iter=2, sample=4096, m=8, pq_k=16
+    )
+    assert stats["n_vectors"] == emb.count() and stats["dim"] == 64
+
+    loaded, cents, books, vectors = ann_index.load_ann_index(emb.sparkSession, d)
+    assert loaded == stats
+    assert np.array_equal(cents, ann.ivf_train(emb, n_cells=8, n_iter=2))
+    assert np.array_equal(books, ann.pq_train(emb, m=8, k=16, n_iter=2))
+
+    stored = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"])) for r in vectors.collect()
+    }
+    assign = {r["vec_id"]: r["cell"] for r in ann.ivf_assign_centroids(emb, cents).collect()}
+    codes = {r["vec_id"]: tuple(r["codes"]) for r in ann.pq_encode(emb, books).collect()}
+    assert stored == {v: (assign[v], codes[v]) for v in assign}
+
+    # the vectors table stores codes only — no float vector column
+    assert "embedding" not in vectors.columns
+
+    # foreign format fails fast
+    import json as _json
+    from pathlib import Path
+
+    s = _json.loads((Path(d) / "ann_stats.json").read_text())
+    s["format"] = 99
+    (Path(d) / "ann_stats.json").write_text(_json.dumps(s))
+    with pytest.raises(ValueError, match="format"):
+        ann_index.load_ann_index(emb.sparkSession, d)
+
+
+def test_ann_index_query_parity(emb, tmp_path):
+    """Stored-artifact queries are result-identical to the
+    self-contained recompute paths, and the probed ADC scan carries the
+    cell filter down to the partitioned parquet scan."""
+    from searty_spark import ann_index
+
+    d = str(tmp_path / "ann")
+    ann_index.write_ann_index(emb, d, n_cells=8, n_iter=2, m=8, pq_k=16)
+    cents = ann.ivf_train(emb, n_cells=8, n_iter=2)
+    books = ann.pq_train(emb, m=8, k=16, n_iter=2)
+
+    want_pq = [tuple(r) for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()]
+    got_pq = [
+        tuple(r) for r in ann_index.pq_topk_indexed(emb, d, 0, k=10, refine=50).collect()
+    ]
+    assert got_pq == want_pq
+
+    want = [
+        tuple(r)
+        for r in ann.ivf_pq_topk(emb, 0, cents, books, k=10, n_probe=2, refine=50).collect()
+    ]
+    stored_q = ann_index.ivf_pq_topk_indexed(emb, d, 0, k=10, n_probe=2, refine=50)
+    assert [tuple(r) for r in stored_q.collect()] == want
+
+    # partition pruning: the vectors scan must carry a cell filter (the
+    # probe list) — visible as PartitionFilters on the parquet scan;
+    # the codes scan must NOT read a float vector column
+    plan = stored_q._sc._jvm.PythonSQLUtils.explainString(
+        stored_q._jdf.queryExecution(), "formatted"
+    )
+    scan_details = [d for d in plan.split("\n\n") if "vectors" in d and "Scan parquet" in d]
+    assert scan_details, plan
+    import re
+
+    assert any(
+        "PartitionFilters" in d
+        and re.search(r"cell#\d+ IN", d.split("PartitionFilters", 1)[1][:200])
+        for d in scan_details
+    ), scan_details
+    assert all("embedding" not in d.split("ReadSchema", 1)[1][:200] for d in scan_details)
