@@ -1,0 +1,224 @@
+"""Champion lists: per-term top-B postings by impact, the seed for
+MaxScore's threshold (the "impact-ordered head postings" lever for
+head-term query latency — Brown/Fagin champion lists as used in
+WAND-family engines; cf. the Broder et al. WAND paper's idea of a
+priming threshold).
+
+Why it is SAFE (and stays stats-free, CLAUDE.md invariant):
+
+- A champion row stores (doc_id, tf, dl) — never a score. At query
+  time the EXACT impacts of those (tf, dl) pairs are recomputed with
+  the CURRENT corpus stats (n_docs, avgdl, df_global), so the numbers
+  can never go stale.
+- The threshold theta0 derived from champions is the kth-largest
+  per-doc SUM of champion impacts. Each champion partial sum is <= the
+  doc's true total BM25 score, so theta0 <= the true kth-best total —
+  a valid prune threshold: every pruning decision it drives keeps the
+  exact top-k (see wand.shard_topk).
+- Which B postings a term's list holds was chosen with the BUILD-time
+  avgdl ordering. After merges shift avgdl the stored set may no
+  longer be the exact top-B — that degrades theta0's TIGHTNESS (less
+  pruning), never correctness, because ANY subset of a term's real
+  postings yields a valid lower bound. merge re-derives the sidecar
+  from the merged segments anyway.
+
+Only terms with df_global >= min_df get a list: decoding a tail term
+is already cheap, and the sidecar stays tiny (head terms are the Zipf
+head — thousands of terms, not the whole vocabulary).
+
+Cited parity: the reference has no analogue (it does exhaustive
+conjunctive resolution, ref lib/searcher/phrase_searcher.go:211-245);
+this is part of the WAND/top-k surface the north rule adds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searty_spark import BM25_B, BM25_K1
+
+CHAMPION_SCHEMA = (
+    "term string, doc_ids array<long>, tfs array<long>, dls array<long>"
+)
+
+
+def g_impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    """Idf-less BM25 impact tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).
+    Within one term idf is a positive constant, so ordering postings by
+    g orders them by true impact — the build-time ranking key."""
+    tf = tfs.astype(np.float64)
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dls.astype(np.float64) / avgdl)
+    return tf * (BM25_K1 + 1.0) / denom
+
+
+def default_min_df(n_docs: int) -> int:
+    """Champion lists pay off where full decode hurts: terms whose
+    posting list is a meaningful fraction of the corpus. ~1% of docs,
+    floored so tiny test corpora get no lists (theta0=0, plain path)."""
+    return max(256, n_docs // 100)
+
+
+def build_champions(
+    segments: DataFrame,
+    avgdl: float,
+    budget: int = 64,
+    min_df: int = 1024,
+) -> DataFrame:
+    """segments -> (term, doc_ids, tfs, dls): each head term's top-
+    ``budget`` postings by g_impact, arrays ordered (g DESC, doc_id).
+
+    Plan: df_global aggregate over the tiny segment-row table picks the
+    head terms (broadcast semi-join back); each (shard, term) row
+    decodes ONCE and emits only its local top-B rows; a per-term window
+    cuts the global top-B; applyInPandas assembles the arrays. All
+    stages are keyed by term — uniform after the head-term cut."""
+    heads = (
+        segments.groupBy("term")
+        .agg(F.sum("df").alias("df_global"))
+        .filter(F.col("df_global") >= min_df)
+        .select("term")
+    )
+    rows = segments.join(F.broadcast(heads), "term", "left_semi").select(
+        "term", "blob", "block_offset"
+    )
+
+    def local_top(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from searty_spark.segments import decode_segment_scores
+
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                docs, tfs, dls = decode_segment_scores(rec)
+                if docs.size == 0:
+                    continue
+                g = g_impact(tfs, dls, avgdl)
+                order = np.lexsort((docs.astype(np.int64), -g))[:budget]
+                yield pd.DataFrame(
+                    {
+                        "term": rec["term"],
+                        "doc_id": docs[order].astype(np.int64),
+                        "tf": tfs[order].astype(np.int64),
+                        "dl": dls[order].astype(np.int64),
+                        "g": g[order],
+                    }
+                )
+
+    local = rows.mapInPandas(
+        local_top, "term string, doc_id long, tf long, dl long, g double"
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("g"), F.asc("doc_id"))
+    top = local.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= budget
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["g", "doc_id"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "doc_ids": [pdf["doc_id"].to_numpy(dtype=np.int64).tolist()],
+                "tfs": [pdf["tf"].to_numpy(dtype=np.int64).tolist()],
+                "dls": [pdf["dl"].to_numpy(dtype=np.int64).tolist()],
+            }
+        )
+
+    return top.groupBy("term").applyInPandas(assemble, CHAMPION_SCHEMA)
+
+
+def write_champions(
+    segments: DataFrame,
+    out_dir: str,
+    n_docs: int,
+    avgdl: float,
+    budget: int = 64,
+    min_df: int | None = None,
+) -> int:
+    """Build + persist the sidecar; returns the number of championed
+    terms. ``min_df=None`` -> default_min_df(n_docs)."""
+    if min_df is None:
+        min_df = default_min_df(n_docs)
+    out = Path(out_dir) / "champions"
+    ch = build_champions(segments, avgdl, budget=budget, min_df=min_df)
+    ch.coalesce(4).write.mode("overwrite").parquet(str(out))
+    return segments.sparkSession.read.parquet(str(out)).count()
+
+
+def champion_theta(
+    champs: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    df_lookup: dict[str, int],
+    k: int,
+    n_docs: int,
+    avgdl: float,
+) -> float:
+    """Driver-side theta seed: kth-largest per-doc sum of EXACT
+    champion impacts under the current stats. 0.0 (no pruning) when
+    fewer than k champion docs exist or no term has a list."""
+    from searty_spark.wand import _impacts
+
+    parts_docs, parts_imp = [], []
+    for term, (docs, tfs, dls) in champs.items():
+        df = df_lookup.get(term)
+        if df is None or len(docs) == 0:
+            continue
+        imp = _impacts(
+            np.asarray(tfs, dtype=np.float64),
+            np.asarray(dls, dtype=np.float64),
+            n_docs,
+            avgdl,
+            int(df),
+        )
+        parts_docs.append(np.asarray(docs, dtype=np.int64))
+        parts_imp.append(imp)
+    if not parts_docs:
+        return 0.0
+    all_docs = np.concatenate(parts_docs)
+    all_imp = np.concatenate(parts_imp)
+    docs, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.zeros(docs.size, dtype=np.float64)
+    np.add.at(sums, inv, all_imp)
+    if sums.size < k:
+        return 0.0
+    return float(np.partition(sums, -k)[-k])
+
+
+class ChampionClient:
+    """Bounded per-query champion fetch + driver-side hot-term cache —
+    the same deployment shape as wand.TermDfClient: the sidecar never
+    moves to the driver wholesale; each query pulls only its own terms
+    through a pushed-filter scan, repeats hit the cache."""
+
+    _ABSENT = object()
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        import threading
+
+        p = Path(index_dir) / "champions"
+        self._df = spark.read.parquet(str(p)) if p.exists() else None
+        self._cache: dict[str, object] = {}
+        self._lock = threading.Lock()
+
+    def lookup(self, terms) -> dict[str, tuple]:
+        if self._df is None:
+            return {}
+        with self._lock:
+            missing = [t for t in terms if t not in self._cache]
+        if missing:
+            rows = self._df.filter(F.col("term").isin(missing)).collect()
+            with self._lock:
+                for r in rows:
+                    self._cache[r["term"]] = (
+                        np.asarray(r["doc_ids"], dtype=np.int64),
+                        np.asarray(r["tfs"], dtype=np.int64),
+                        np.asarray(r["dls"], dtype=np.int64),
+                    )
+                for t in missing:
+                    self._cache.setdefault(t, self._ABSENT)
+        with self._lock:
+            return {
+                t: v for t in terms if (v := self._cache.get(t)) is not self._ABSENT
+            }

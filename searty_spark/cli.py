@@ -222,6 +222,11 @@ def cmd_bench_queries(args) -> None:
         }
     else:
         dic = TermDfClient(spark, args.index)
+    # champion-seeded theta for the BM25 paths (bounded fetch + cache,
+    # same shape as the df client; zero per-query jobs once warm)
+    from searty_spark.champions import ChampionClient, champion_theta
+
+    champs = ChampionClient(spark, args.index)
 
     docs = None
     if args.mode == "regex":
@@ -244,11 +249,16 @@ def cmd_bench_queries(args) -> None:
             terms = sorted(
                 {lisp_term(args.kind, t) for t, _, kd in lisp_tokenize(q) if kd == args.kind}
             )
+            dfl = dic.lookup(terms)
             wand_topk(
                 seg, None, "", k=args.k,
                 n_docs=stats["n_docs"], avgdl=stats["avgdl"],
                 n_shards=stats["n_shards"],
-                df_lookup=dic.lookup(terms), terms=terms,
+                df_lookup=dfl, terms=terms,
+                theta0=champion_theta(
+                    champs.lookup(terms), dfl, args.k,
+                    stats["n_docs"], stats["avgdl"],
+                ),
             ).collect()
         elif args.mode == "phrase":
             from searty_spark.phrase_seg import phrase_bm25_topk_segments
@@ -266,11 +276,17 @@ def cmd_bench_queries(args) -> None:
                 docs, seg, q, n_shards=stats["n_shards"]
             ).collect()
         else:
+            terms = sorted(set(tokenize(q)))
+            dfl = dic.lookup(terms)
             wand_topk(
                 seg, None, q, k=args.k,
                 n_docs=stats["n_docs"], avgdl=stats["avgdl"],
                 n_shards=stats["n_shards"],
-                df_lookup=dic.lookup(sorted(set(tokenize(q)))),
+                df_lookup=dfl,
+                theta0=champion_theta(
+                    champs.lookup(terms), dfl, args.k,
+                    stats["n_docs"], stats["avgdl"],
+                ),
             ).collect()
         return time.perf_counter() - t0
 

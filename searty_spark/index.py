@@ -347,6 +347,21 @@ def write_index(
         wall = time.perf_counter() - t0
         n_terms = spark.read.parquet(str(out / "dictionary")).count()
         _commit(out_dir, "dictionary", wall_sec=wall, rows=n_terms)
+
+    # --- stage 4: champion lists, DERIVED like the dictionary ------------
+    # per-head-term top-B postings by impact (stats-free: (doc, tf, dl)
+    # rows, scores recomputed at query time) — seeds MaxScore's theta so
+    # the seed term stops decoding early (champions.py for the safety
+    # argument). Tail corpora produce an empty sidecar (no head terms).
+    done = _done_units(out_dir) if resume else set()
+    if "champions" not in done:
+        t0 = time.perf_counter()
+        from searty_spark.champions import write_champions
+
+        n_ch = write_champions(
+            load_segments(spark, out_dir), out_dir, stats["n_docs"], stats["avgdl"]
+        )
+        _commit(out_dir, "champions", wall_sec=time.perf_counter() - t0, rows=n_ch)
     return {"stats": stats, "units": metrics}
 
 
@@ -433,9 +448,27 @@ def _query_terms(
     from searty_spark.wand import wand_topk
 
     seg = load_segments(spark, index_dir)
+    theta0 = 0.0
     if terms:
         buckets = term_buckets(spark, terms, stats["n_buckets"])
         seg = seg.filter(F.col("bucket").isin(buckets))
+        # champion-seeded theta: two bounded pushed-filter fetches
+        # (query terms only), then every shard kernel block-prunes its
+        # essential terms against it — results identical either way
+        if (Path(index_dir) / "champions").exists():
+            from searty_spark.champions import ChampionClient, champion_theta
+
+            champs = ChampionClient(spark, index_dir).lookup(terms)
+            if champs:
+                dfs = {
+                    r["term"]: int(r["df_global"])
+                    for r in spark.read.parquet(str(Path(index_dir) / "dictionary"))
+                    .filter(F.col("term").isin(list(champs)))
+                    .collect()
+                }
+                theta0 = champion_theta(
+                    champs, dfs, k, stats["n_docs"], stats["avgdl"]
+                )
     dictionary = spark.read.parquet(str(Path(index_dir) / "dictionary"))
     return wand_topk(
         seg,
@@ -447,4 +480,5 @@ def _query_terms(
         n_shards=stats["n_shards"],
         df_lookup=dictionary,
         terms=terms,
+        theta0=theta0,
     )

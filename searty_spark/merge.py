@@ -204,6 +204,13 @@ def merge_indexes(
     )
     dct.write.mode("overwrite").parquet(str(out / "dictionary"))
 
+    # champion sidecar: re-derived from the MERGED segments under the
+    # merged stats — identical to a single-shot build's sidecar (the
+    # sidecar is a pure function of segments + (n_docs, avgdl))
+    from searty_spark.champions import write_champions
+
+    write_champions(load_segments(spark, out_dir), out_dir, n_docs, avgdl)
+
     # --- symbol/package metadata (ref merge.go:240-309, M4) -------------
     # Entity ids are content hashes (md5 of name), identical across
     # independently-built indexes, so entity merge is union+distinct and
@@ -311,6 +318,9 @@ def _merge_dedup(
     ).select(
         "term", F.xxhash64("term").alias("token_id"), "df_global"
     ).write.mode("overwrite").parquet(str(out / "dictionary"))
+    from searty_spark.champions import write_champions
+
+    write_champions(load_segments(spark, out_dir), out_dir, n_docs, avgdl)
 
     # sidecar: definitions are doc-keyed facts -> drop losers' rows;
     # entities re-derive from the surviving facts / surviving docs so

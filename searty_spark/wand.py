@@ -82,20 +82,6 @@ def _term_scores(row: dict, n_docs: int, avgdl: float, blocks=None):
     return docs.astype(np.int64), _impacts(tfs, dls, n_docs, avgdl, _require_df(row))
 
 
-def _term_upper_bound(row: dict, n_docs: int, avgdl: float) -> float:
-    """Valid per-term impact upper bound from stats-free block
-    metadata (see module docstring)."""
-    return float(
-        bm25_impact(
-            np.asarray(row["block_max_tf"], dtype=np.float64),
-            np.asarray(row["block_min_dl"], dtype=np.float64),
-            n_docs,
-            avgdl,
-            _require_df(row),
-        ).max()
-    )
-
-
 def _check_duplicate_term_rows(rows: list[dict]) -> None:
     """Duplicate (shard, term) rows come from unmerged partial indexes.
     Summing their impacts is exact BM25 only while each duplicate's doc
@@ -124,8 +110,50 @@ def _check_duplicate_term_rows(rows: list[dict]) -> None:
             )
 
 
-def shard_topk(rows: list[dict], n_docs: int, avgdl: float, k: int) -> pd.DataFrame:
+def _gather_add(
+    r: dict,
+    blocks: list[int],
+    cdocs: np.ndarray,
+    cscores: np.ndarray,
+    n_docs: int,
+    avgdl: float,
+) -> np.ndarray:
+    """Decode the given blocks of one term row and add each candidate
+    doc's exact impact to its running score (one searchsorted gather,
+    no per-doc Python)."""
+    tdocs, tsc = _term_scores(r, n_docs, avgdl, blocks)
+    idx = np.searchsorted(tdocs, cdocs)
+    ok = idx < tdocs.size
+    hit = ok.copy()
+    hit[ok] = tdocs[idx[ok]] == cdocs[ok]
+    add = np.zeros(cdocs.size, dtype=np.float64)
+    add[hit] = tsc[idx[hit]]
+    return cscores + add
+
+
+def _candidate_blocks(r: dict, cdocs: np.ndarray) -> np.ndarray:
+    """Block ids of ``r`` that can contain any of the (sorted)
+    candidate docs — searchsorted on block_last_doc."""
+    last = np.asarray(r["block_last_doc"], dtype=np.int64)
+    first_needed = np.searchsorted(last, cdocs, side="left")
+    return np.unique(first_needed[first_needed < last.size])
+
+
+def shard_topk(
+    rows: list[dict], n_docs: int, avgdl: float, k: int, theta0: float = 0.0
+) -> pd.DataFrame:
     """Exact MaxScore top-k for one shard's query-term segment rows.
+
+    ``theta0`` is an optional EXTERNAL lower bound on the global
+    kth-best total score (champions.champion_theta) — with it, the
+    kernel block-prunes the ESSENTIAL terms too (including the seed):
+    a block b of term i may be skipped when
+    bound(b) + sum(other terms' upper bounds) < theta, because every
+    doc in it then provably scores below the global kth best. Docs that
+    were partially scored but may have contributions in skipped blocks
+    are exactly rescored from just those blocks before the top-k cut,
+    so results stay identical to the exhaustive path (tested). With
+    theta0 == 0 the behavior is the original seed-then-split MaxScore.
 
     Duplicate (shard, term) rows (unmerged partial indexes) are
     accepted when their doc sets are disjoint — then per-row scoring
@@ -134,26 +162,55 @@ def shard_topk(rows: list[dict], n_docs: int, avgdl: float, k: int) -> pd.DataFr
         return pd.DataFrame({"doc_id": [], "score": []})
     if len({r["term"] for r in rows}) != len(rows):
         _check_duplicate_term_rows(rows)
-    ubs = np.array([_term_upper_bound(r, n_docs, avgdl) for r in rows])
+    bubs = [
+        bm25_impact(
+            np.asarray(r["block_max_tf"], dtype=np.float64),
+            np.asarray(r["block_min_dl"], dtype=np.float64),
+            n_docs,
+            avgdl,
+            _require_df(r),
+        )
+        for r in rows
+    ]
+    ubs = np.array([float(b.max()) for b in bubs])
     order = np.argsort(-ubs, kind="stable")  # descending upper bound
     rows = [rows[i] for i in order]
+    bubs = [bubs[i] for i in order]
     ubs = ubs[order]
+    n_terms = len(rows)
 
-    # --- seed threshold from the strongest term, fully decoded
-    seed_docs, seed_sc = _term_scores(rows[0], n_docs, avgdl)
-    if len(rows) == 1:
-        docs, scores = seed_docs, seed_sc
-        return _topk_frame(docs, scores, k)
     # PAD makes every pruning decision safe under the final 1e-6
     # rounding of the ranking key (a pruned doc's ROUNDED score is
     # strictly below the kth's — see tests/test_wand.py).
     PAD = 2e-6
-    theta = _kth(seed_sc, k) - PAD
+    theta = (theta0 - PAD) if theta0 > 0.0 else -np.inf
+    skipped: list[tuple[dict, np.ndarray, float]] = []
+
+    # --- seed term: decode, block-pruned by theta0 when one is given
+    # (with theta = -inf the keep test is vacuous -> full decode, the
+    # original behavior). Skip rule for block b of term i:
+    # bound(b) + sum_{j != i} ub_j < theta => no doc in b can reach the
+    # global kth best, even with maximal help from every other term.
+    bub0, other0 = bubs[0], float(ubs[1:].sum())
+    keep0 = np.nonzero(bub0 + other0 >= theta)[0]
+    if keep0.size == bub0.size:
+        seed_docs, seed_sc = _term_scores(rows[0], n_docs, avgdl)
+    else:
+        sk = np.setdiff1d(np.arange(bub0.size), keep0)
+        skipped.append((rows[0], sk, float(bub0[sk].max())))
+        if keep0.size:
+            seed_docs, seed_sc = _term_scores(rows[0], n_docs, avgdl, keep0.tolist())
+        else:
+            seed_docs = np.empty(0, dtype=np.int64)
+            seed_sc = np.empty(0, dtype=np.float64)
+    # decoded seed impacts are exact per-doc partials -> valid bound
+    theta = max(theta, _kth(seed_sc, k) - PAD)
+    if n_terms == 1:
+        return _topk_frame(seed_docs, seed_sc, k)
 
     # --- split essential / non-essential by cumulative bound (asc)
     cum = np.cumsum(ubs[::-1])[::-1]  # cum[i] = ubs[i] + ubs[i+1] + ...
     # non-essential suffix: maximal suffix with sum(ubs) < theta
-    n_terms = len(rows)
     ness_start = n_terms
     for i in range(n_terms - 1, 0, -1):
         if cum[i] < theta:
@@ -163,35 +220,49 @@ def shard_topk(rows: list[dict], n_docs: int, avgdl: float, k: int) -> pd.DataFr
     essential, non_essential = rows[:ness_start], rows[ness_start:]
     ub_ness = float(cum[ness_start]) if ness_start < n_terms else 0.0
 
-    # --- TAAT over essential terms (term 0 already decoded)
+    # --- TAAT over essential terms (term 0 already decoded), each
+    # decode block-pruned by the same skip rule
+    ess_ub_sum = float(ubs[:ness_start].sum())
     parts = [(seed_docs, seed_sc)]
-    for r in essential[1:]:
-        parts.append(_term_scores(r, n_docs, avgdl))
+    for i, r in enumerate(essential[1:], start=1):
+        bub = bubs[i]
+        other = ess_ub_sum - float(ubs[i]) + ub_ness
+        keep = np.nonzero(bub + other >= theta)[0]
+        if keep.size == bub.size:
+            parts.append(_term_scores(r, n_docs, avgdl))
+        else:
+            sk = np.setdiff1d(np.arange(bub.size), keep)
+            skipped.append((r, sk, float(bub[sk].max())))
+            if keep.size:
+                parts.append(_term_scores(r, n_docs, avgdl, keep.tolist()))
     all_docs = np.concatenate([p[0] for p in parts])
     all_sc = np.concatenate([p[1] for p in parts])
+    if all_docs.size == 0:
+        # every essential block provably scores below the global kth
+        # best: this shard contributes nothing to the top-k
+        return pd.DataFrame({"doc_id": [], "score": []})
     docs, inv = np.unique(all_docs, return_inverse=True)
     scores = np.zeros(docs.size, dtype=np.float64)
     np.add.at(scores, inv, all_sc)
 
+    # partial sums are lower bounds on totals -> still a valid theta
     theta = max(theta, _kth(scores, k) - PAD)
-    cand = scores + ub_ness >= theta - 1e-12
+    slack = sum(s[2] for s in skipped)  # max possible skipped impact
+    cand = scores + ub_ness + slack >= theta - 1e-12
     cdocs, cscores = docs[cand], scores[cand]
 
-    # --- exact rescore: only blocks that can contain candidates
+    # --- exact rescore: skipped essential blocks first (restores exact
+    # scores for candidates that ALSO live in a pruned block), then
+    # non-essential terms — in both cases only blocks that can contain
+    # candidates decode
+    for r, sk, _ in skipped:
+        needed = np.intersect1d(_candidate_blocks(r, cdocs), sk)
+        if needed.size:
+            cscores = _gather_add(r, needed.tolist(), cdocs, cscores, n_docs, avgdl)
     for r in non_essential:
-        last = np.asarray(r["block_last_doc"], dtype=np.int64)
-        first_needed = np.searchsorted(last, cdocs, side="left")
-        blocks = np.unique(first_needed[first_needed < last.size])
-        if blocks.size == 0:
-            continue
-        tdocs, tsc = _term_scores(r, n_docs, avgdl, blocks.tolist())
-        idx = np.searchsorted(tdocs, cdocs)
-        ok = idx < tdocs.size
-        hit = ok.copy()
-        hit[ok] = tdocs[idx[ok]] == cdocs[ok]
-        add = np.zeros(cdocs.size, dtype=np.float64)
-        add[hit] = tsc[idx[hit]]
-        cscores = cscores + add
+        blocks = _candidate_blocks(r, cdocs)
+        if blocks.size:
+            cscores = _gather_add(r, blocks.tolist(), cdocs, cscores, n_docs, avgdl)
     return _topk_frame(cdocs, cscores, k)
 
 
@@ -306,6 +377,7 @@ def wand_topk(
     n_shards: int | None = None,
     df_lookup=None,
     terms: list[str] | None = None,
+    theta0: float = 0.0,
 ) -> DataFrame:
     """(doc_id, score) exact BM25 top-k from the segment table.
 
@@ -315,7 +387,13 @@ def wand_topk(
 
     ``terms`` overrides the default trigram tokenization of ``query``
     — the hook for alternate analyzers (e.g. the Lisp analyzer's
-    kind-composite terms, index.query_index_lisp)."""
+    kind-composite terms, index.query_index_lisp).
+
+    ``theta0``: external lower bound on the global kth-best score
+    (champions.champion_theta) — enables essential-term block pruning
+    in every shard kernel; results are identical with or without it
+    (the bound only skips blocks that provably can't affect the
+    top-k)."""
     spark = segments.sparkSession
     if terms is None:
         terms = sorted(set(tokenize(query, n)))
@@ -343,7 +421,7 @@ def wand_topk(
             for rec in pdf.to_dict("records"):
                 by_shard.setdefault(int(rec["shard"]), []).append(rec)
         for shard, rows in by_shard.items():
-            yield shard_topk(rows, n_docs, avgdl, k)
+            yield shard_topk(rows, n_docs, avgdl, k, theta0)
 
     rep = (
         withg.repartition(n_shards, "shard")

@@ -1,0 +1,176 @@
+"""Champion lists: sidecar contents match brute force, and the
+theta0-seeded MaxScore kernel stays EXACTLY rank/score-identical to
+the unseeded path and the DataFrame engine (the three-way identity
+invariant) — theta0 may only skip work, never change results."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searty_spark.build import build_postings, doc_stats
+from searty_spark.champions import (
+    ChampionClient,
+    build_champions,
+    champion_theta,
+    g_impact,
+)
+from searty_spark.segments import build_segments
+from searty_spark.tokenize import tokenize
+from searty_spark.wand import wand_topk
+
+
+@pytest.fixture(scope="module")
+def seg(spark, small_corpus):
+    p = build_postings(small_corpus, with_doc_len=True)
+    s = build_segments(p, doc_stats(small_corpus), n_shards=4, n_buckets=8).cache()
+    s.count()
+    return s
+
+
+@pytest.fixture(scope="module")
+def corpus_stats(small_corpus):
+    row = doc_stats(small_corpus).agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("a")
+    ).collect()[0]
+    return int(row["n"]), float(row["a"])
+
+
+def test_champions_match_bruteforce(spark, small_corpus, seg, corpus_stats):
+    n_docs, avgdl = corpus_stats
+    B = 8
+    ch = {
+        r["term"]: (list(r["doc_ids"]), list(r["tfs"]), list(r["dls"]))
+        for r in build_champions(seg, avgdl, budget=B, min_df=3).collect()
+    }
+    assert ch, "head terms expected at min_df=3"
+    # brute force from raw postings
+    p = build_postings(small_corpus, with_doc_len=True).collect()
+    by_term: dict[str, list] = {}
+    for r in p:
+        by_term.setdefault(r["term"], []).append(
+            (r["doc_id"], r["tf"], r["doc_len"])
+        )
+    for term, rows in by_term.items():
+        if len(rows) < 3:
+            assert term not in ch
+            continue
+        docs = np.array([x[0] for x in rows])
+        tfs = np.array([x[1] for x in rows])
+        dls = np.array([x[2] for x in rows])
+        g = g_impact(tfs, dls, avgdl)
+        order = np.lexsort((docs, -g))[:B]
+        want = [
+            (int(docs[i]), int(tfs[i]), int(dls[i])) for i in order
+        ]
+        got = list(zip(*ch[term]))
+        assert got == want, term
+
+
+@pytest.mark.parametrize("query,k", [
+    ("shared", 10), ("shared phrase", 10), ("module", 5), ("query", 1),
+    ("count score", 20),
+])
+def test_theta0_identity(spark, small_corpus, seg, corpus_stats, query, k):
+    """wand_topk with champion-seeded theta0 == without == the
+    DataFrame BM25 engine, frame-for-frame."""
+    from searty_spark.query import bm25_topk
+
+    n_docs, avgdl = corpus_stats
+    terms = sorted(set(tokenize(query)))
+    ch = {
+        r["term"]: (
+            np.asarray(r["doc_ids"]), np.asarray(r["tfs"]), np.asarray(r["dls"])
+        )
+        for r in build_champions(seg, avgdl, budget=16, min_df=1).collect()
+        if r["term"] in terms
+    }
+    p = build_postings(small_corpus)
+    dfs = {
+        r["term"]: r["df"]
+        for r in p.filter(F.col("term").isin(terms))
+        .groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    theta0 = champion_theta(ch, dfs, k, n_docs, avgdl)
+    assert theta0 > 0.0
+    base = [tuple(r) for r in wand_topk(
+        seg, None, query, k=k, n_docs=n_docs, avgdl=avgdl, n_shards=4
+    ).collect()]
+    seeded = [tuple(r) for r in wand_topk(
+        seg, None, query, k=k, n_docs=n_docs, avgdl=avgdl, n_shards=4,
+        theta0=theta0,
+    ).collect()]
+    df_path = [tuple(r) for r in bm25_topk(
+        p, doc_stats(small_corpus), query, k=k
+    ).collect()]
+    assert seeded == base == df_path
+
+
+def test_theta0_is_lower_bound(spark, small_corpus, seg, corpus_stats):
+    """champion_theta must never exceed the true kth-best total —
+    checked against the exhaustive engine for several queries/k."""
+    from searty_spark.query import bm25_topk
+
+    n_docs, avgdl = corpus_stats
+    p = build_postings(small_corpus)
+    s = doc_stats(small_corpus)
+    all_ch = {
+        r["term"]: (
+            np.asarray(r["doc_ids"]), np.asarray(r["tfs"]), np.asarray(r["dls"])
+        )
+        for r in build_champions(seg, avgdl, budget=16, min_df=1).collect()
+    }
+    for query in ["shared", "module query", "shared phrase"]:
+        terms = sorted(set(tokenize(query)))
+        dfs = {
+            r["term"]: r["df"]
+            for r in p.filter(F.col("term").isin(terms))
+            .groupBy("term").agg(F.count("*").alias("df")).collect()
+        }
+        ch = {t: v for t, v in all_ch.items() if t in terms}
+        for k in (1, 3, 10):
+            rows = bm25_topk(p, s, query, k=k).collect()
+            if len(rows) < k:
+                continue
+            kth = rows[-1]["score"]
+            theta0 = champion_theta(ch, dfs, k, n_docs, avgdl)
+            # rounded kth vs raw theta0: allow the rounding epsilon
+            assert theta0 <= kth + 1e-6, (query, k, theta0, kth)
+
+
+def test_write_index_emits_champions_and_query_identity(
+    spark, small_corpus, tmp_path
+):
+    """write_index persists the sidecar; query_index (champion-seeded)
+    equals wand_topk over the same segments without a seed."""
+    from searty_spark.index import load_segments, load_stats, query_index, write_index
+
+    d = str(tmp_path / "idx")
+    write_index(small_corpus, d, n_shards=2, n_buckets=4)
+    import json
+    from pathlib import Path
+
+    units = [
+        json.loads(ln)["unit"]
+        for ln in (Path(d) / "checkpoint.jsonl").read_text().splitlines()
+    ]
+    assert "champions" in units
+    assert (Path(d) / "champions").exists()
+    stats = load_stats(d)
+    cc = ChampionClient(spark, d)
+    # min_df default floors at 256 on this 150-doc corpus -> empty
+    # sidecar is legal; rebuild a denser one to force seeding
+    from searty_spark.champions import write_champions
+
+    n = write_champions(
+        load_segments(spark, d), d, stats["n_docs"], stats["avgdl"], min_df=2
+    )
+    assert n > 0
+    cc = ChampionClient(spark, d)
+    assert cc.lookup(sorted(set(tokenize("shared"))))
+    got = [tuple(r) for r in query_index(spark, d, "shared", k=10).collect()]
+    want = [tuple(r) for r in wand_topk(
+        load_segments(spark, d), None, "shared", k=10,
+        n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=2,
+        df_lookup=spark.read.parquet(f"{d}/dictionary"),
+    ).collect()]
+    assert got == want

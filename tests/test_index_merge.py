@@ -57,7 +57,7 @@ def test_build_query_resume_and_merge(spark, corpus, oracle_idx, tmp_path_factor
     units = [json.loads(x)["unit"] for x in ckpt.read_text().splitlines()]
     assert units == ["docstats", "symbols"] + [
         f"segments/shards={s}-{s}" for s in range(3)
-    ] + ["dictionary"]
+    ] + ["dictionary", "champions"]
 
     # --- resume: drop one shard, rebuild only it, content identical ------
     before = _index_content(spark, full_dir)
