@@ -113,6 +113,30 @@ def main():
     results["bm25_query_p95"] = round(pctl(wt, 0.95), 4)
     extra["bm25_qps"] = round(len(wt) / sum(wt), 2)
 
+    # --- champion-seeded twin (theta0 from the persisted sidecar) -------
+    from searty_spark.champions import ChampionClient, champion_theta
+
+    champs = ChampionClient(spark, idx_dir)
+    ct = []
+    for i in range(N_REPEAT):
+        for q in BM25_QUERIES:
+            terms = sorted(set(tokenize(q)))
+            dfl = dic.lookup(terms)
+            theta0 = champion_theta(
+                champs.lookup(terms), dfl, 10, stats["n_docs"], stats["avgdl"]
+            )
+            t, _ = timed(
+                lambda: wand_topk(
+                    seg, None, q, k=10,
+                    n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
+                    df_lookup=dfl, theta0=theta0,
+                ).collect()
+            )
+            if i > 0:
+                ct.append(t)
+    extra["bm25_champ_p50"] = round(pctl(ct, 0.5), 4)
+    extra["bm25_champ_p95"] = round(pctl(ct, 0.95), 4)
+
     t, _ = timed(
         lambda: [
             phrase_ranges_segments(seg, q, n_shards=N_SHARDS).collect()
@@ -131,6 +155,46 @@ def main():
         ).collect()
     )
     extra["phrase_bm25_seg"] = round(t, 4)
+
+    # --- warm regex path (trigram-accelerated, segment candidates) ------
+    from searty_spark.query import regex_search_segments
+
+    regex_search_segments(docs, seg, "spark (join|table)", n_shards=N_SHARDS).count()
+    t, _ = timed(
+        lambda: regex_search_segments(
+            docs, seg, "spark (join|table)", n_shards=N_SHARDS
+        ).count()
+    )
+    extra["regex_seg_warm"] = round(t, 4)
+
+    # --- warm lisp-analyzer path (kind-composite BM25 over the fixture
+    # index — the same shape cli.py bench-queries --mode lisp serves)
+    import __spark_entry__ as _entry
+    from searty_spark.index import lisp_term
+
+    lseg = _entry._lisp_segments(spark, sf_dir).repartition(4, "shard").cache()
+    lseg.count()
+    from pyspark.sql import functions as F
+
+    lterms = [lisp_term("SYMBOL", "skey")]
+    ldf = {
+        r["term"]: int(r["df"])
+        for r in lseg.filter(F.col("term").isin(lterms))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    wand_topk(  # warmup
+        lseg, None, "", k=10, n_docs=n_docs, avgdl=10.0, n_shards=4,
+        terms=lterms, df_lookup=ldf,
+    ).collect()
+    t, _ = timed(
+        lambda: wand_topk(
+            lseg, None, "", k=10, n_docs=n_docs, avgdl=10.0, n_shards=4,
+            terms=lterms, df_lookup=ldf,
+        ).collect()
+    )
+    extra["lisp_query_warm"] = round(t, 4)
+    lseg.unpersist()
 
     # --- DataFrame-path twin (uncompressed postings) --------------------
     postings = build_postings(docs).cache()
@@ -175,6 +239,30 @@ def main():
         r["vec_id"] for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()
     }
     extra["pq_recall_at_10"] = round(len(truth & approx_pq) / 10, 3)
+
+    # --- stored-artifact ANN vs per-query recompute ----------------------
+    # build once (write_ann_index), then the query scans m-byte code rows
+    # with the probe as a partition filter; the recompute twin re-encodes
+    # the probed cells' raw vectors inside every query
+    from searty_spark.ann_index import ivf_pq_topk_indexed, write_ann_index
+
+    ann_dir = "/tmp/searty_bench_ann"
+    shutil.rmtree(ann_dir, ignore_errors=True)
+    t, _ = timed(lambda: write_ann_index(emb, ann_dir, n_cells=32, m=8, pq_k=16))
+    extra["ann_index_build"] = round(t, 4)
+    ivf_pq_topk_indexed(emb, ann_dir, 0, k=10, n_probe=4, refine=50).collect()  # warm
+    t, _ = timed(
+        lambda: ivf_pq_topk_indexed(emb, ann_dir, 0, k=10, n_probe=4, refine=50).collect()
+    )
+    extra["ann_ivfpq_stored"] = round(t, 4)
+    cents32 = ann.ivf_train(emb, n_cells=32, n_iter=2)
+    ann.ivf_pq_topk(emb, 0, cents32, books, k=10, n_probe=4, refine=50).collect()  # warm
+    t, _ = timed(
+        lambda: ann.ivf_pq_topk(
+            emb, 0, cents32, books, k=10, n_probe=4, refine=50
+        ).collect()
+    )
+    extra["ann_ivfpq_recompute"] = round(t, 4)
 
     # --- concurrent query serving (warmed session, 8 threads) ------------
     # the query-server shape: many independent top-k requests hitting one

@@ -103,6 +103,17 @@ def main():
     eff = (
         results[low]["build_wall_sec_median"] / results[high]["build_wall_sec_median"]
     ) / (high / low)
+    # per-PAIR efficiencies: each rep's (low, high) runs are adjacent in
+    # time, so a pair shares the VM's throttling state — the median of
+    # pair efficiencies is robust to slow drift across the invocation
+    # in a way the pooled medians are not
+    pair_effs = [
+        round((lo / hi) / (high / low), 4)
+        for lo, hi in zip(results[low]["samples"], results[high]["samples"])
+    ]
+    eff_min = (
+        results[low]["build_wall_sec_min"] / results[high]["build_wall_sec_min"]
+    ) / (high / low)
     summary = {
         "n_docs": n_docs,
         "low_cpus": low,
@@ -110,8 +121,13 @@ def main():
         "repeats": repeats,
         "runs": results,
         "scaling_efficiency": round(eff, 4),
+        "pair_efficiencies": pair_effs,
+        "pair_efficiency_median": round(statistics.median(pair_effs), 4),
+        # min-over-min: both levels' best-case walls, least throttled
+        "scaling_efficiency_of_min": round(eff_min, 4),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "pass_pair_median": statistics.median(pair_effs) >= 0.8,
     }
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)

@@ -29,6 +29,12 @@ from pyspark.sql import functions as F
 from searty_spark import NGRAM_N
 from searty_spark.segments import decode_segment_positions, decode_segment_scores
 from searty_spark.tokenize import tokenize
+from searty_spark.wand import SCORE_COLS
+
+# phrase matching additionally reads the position streams; cf/bucket
+# still never cross the exchange (mapInPandas consumes its child's
+# whole schema, so the projection must be explicit — see wand.py)
+PHRASE_COLS = SCORE_COLS + ["pos_blob", "pos_block_offset"]
 
 
 def _blocks_for(row: dict, docs: np.ndarray) -> list[int]:
@@ -149,7 +155,9 @@ def phrase_ranges_segments(
     if not toks:
         return spark.createDataFrame([], "doc_id long, start int, end int")
     width = len(toks) - 1 + n
-    pruned = segments.filter(F.col("term").isin(sorted(set(toks))))
+    pruned = segments.filter(F.col("term").isin(sorted(set(toks)))).select(
+        *PHRASE_COLS
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by_shard: dict[int, dict[str, dict]] = {}
@@ -192,7 +200,9 @@ def docs_with_all_terms_segments(
     if not terms:
         return spark.createDataFrame([], "doc_id long")
     terms = sorted(set(terms))
-    pruned = segments.filter(F.col("term").isin(terms))
+    # conjunction reads only the score blobs — the position streams
+    # stay on disk (SCORE_COLS projection, see wand.py)
+    pruned = segments.filter(F.col("term").isin(terms)).select(*SCORE_COLS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by_shard: dict[int, dict[str, dict]] = {}
@@ -279,7 +289,11 @@ def phrase_bm25_topk_segments(
         return spark.createDataFrame([], "doc_id long, score double, n_matches long")
     assert n_docs is not None and avgdl is not None
     terms = sorted(set(toks))
-    pruned = _with_df_global(segments.filter(F.col("term").isin(terms)), terms, df_lookup)
+    pruned = _with_df_global(
+        segments.filter(F.col("term").isin(terms)).select(*PHRASE_COLS),
+        terms,
+        df_lookup,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by_shard: dict[int, dict[str, dict]] = {}

@@ -43,6 +43,13 @@ from searty_spark import BM25_B, BM25_K1, NGRAM_N, SCORE_NDIGITS
 from searty_spark.segments import bm25_impact, decode_score_block
 from searty_spark.tokenize import tokenize
 
+# the columns BM25 scoring actually reads — everything the score
+# kernels touch, nothing the phrase path needs (pos_blob et al.)
+SCORE_COLS = [
+    "shard", "term", "df", "blob",
+    "block_offset", "block_last_doc", "block_max_tf", "block_min_dl",
+]
+
 
 def _impacts(tfs, dls, n_docs: int, avgdl: float, df_global: int) -> np.ndarray:
     idf = math.log((n_docs - df_global + 0.5) / (df_global + 0.5) + 1.0)
@@ -412,6 +419,13 @@ def wand_topk(
         pruned = pruned.filter(
             F.col("bucket").isin(term_buckets(spark, terms, n_buckets))
         )
+    # EXPLICIT column pruning: mapInPandas consumes its child's whole
+    # schema, so Catalyst cannot prune for us — without this select the
+    # repartition shuffles pos_blob (positions — often the LARGEST
+    # column, unused by BM25 scoring) and cf/bucket through the
+    # exchange and Arrow on every query. For a 1M-doc head term that is
+    # several MB of dead weight per query.
+    pruned = pruned.select(*SCORE_COLS)
 
     withg = _with_df_global(pruned, terms, df_lookup)
 
@@ -457,7 +471,9 @@ def wand_topk_batch(
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
     assert n_docs is not None and avgdl is not None
     pruned = _with_df_global(
-        segments.filter(F.col("term").isin(all_terms)), all_terms, df_lookup
+        segments.filter(F.col("term").isin(all_terms)).select(*SCORE_COLS),
+        all_terms,
+        df_lookup,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
