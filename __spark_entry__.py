@@ -38,7 +38,12 @@ K_BM25 = 20
 JACC_T = 0.2
 SYMBOL = "key"
 IVF_CELLS, IVF_ITER, IVF_SAMPLE, IVF_PROBE = 32, 2, 4096, 4
-PQ_M, PQ_K, PQ_REFINE = 8, 16, 50
+# refine=200 chosen from the measured sweep (BENCH/pq_recall.json):
+# recall@10 0.83 on the adversarial near-uniform synthetic embeddings
+# and 1.0 on the clustered fixture, vs 0.60/0.33 at refine=50 — the
+# exact re-rank of 200 rows costs microseconds, so the bigger
+# candidate cut is free at any scale
+PQ_M, PQ_K, PQ_REFINE = 8, 16, 200
 
 
 def _ensure_shipped(spark: SparkSession) -> None:

@@ -239,6 +239,10 @@ def main():
         r["vec_id"] for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()
     }
     extra["pq_recall_at_10"] = round(len(truth & approx_pq) / 10, 3)
+    approx_pq200 = {
+        r["vec_id"] for r in ann.pq_topk(emb, 0, books, k=10, refine=200).collect()
+    }
+    extra["pq_recall_at_10_refine200"] = round(len(truth & approx_pq200) / 10, 3)
 
     # --- stored-artifact ANN vs per-query recompute ----------------------
     # build once (write_ann_index), then the query scans m-byte code rows
