@@ -104,7 +104,7 @@ def main():
                 lambda: wand_topk(
                     seg, None, q, k=10,
                     n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
-                    df_lookup=df_for(q),
+                    df_lookup=df_for(q), pre_partitioned=True,
                 ).collect()
             )
             if i > 0:
@@ -129,7 +129,7 @@ def main():
                 lambda: wand_topk(
                     seg, None, q, k=10,
                     n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
-                    df_lookup=dfl, theta0=theta0,
+                    df_lookup=dfl, theta0=theta0, pre_partitioned=True,
                 ).collect()
             )
             if i > 0:
@@ -281,7 +281,7 @@ def main():
         wand_topk(
             seg, None, q, k=10,
             n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
-            df_lookup=df_for(q),
+            df_lookup=df_for(q), pre_partitioned=True,
         ).collect()
         return time.perf_counter() - t0
 

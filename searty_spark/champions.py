@@ -38,7 +38,7 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from searty_spark import BM25_B, BM25_K1
@@ -69,6 +69,7 @@ def build_champions(
     avgdl: float,
     budget: int = 64,
     min_df: int = 1024,
+    max_terms: int = 1024,
 ) -> DataFrame:
     """segments -> (term, doc_ids, tfs, dls): each head term's top-
     ``budget`` postings by g_impact, arrays ordered (g DESC, doc_id).
@@ -78,14 +79,22 @@ def build_champions(
     decodes ONCE and emits only its local top-B rows; a per-term window
     cuts the global top-B; applyInPandas assembles the arrays. All
     stages are keyed by term — uniform after the head-term cut."""
+    # min_df floors the candidates; max_terms CAPS the build cost and
+    # sidecar size deterministically (df_global DESC, term tiebreak):
+    # theta seeding only ever needs the hottest terms — a corpus whose
+    # vocabulary is so small that thousands of terms clear min_df (the
+    # synthetic fixture does) must not turn the champions stage into a
+    # decode pass over a third of the dictionary.
     heads = (
         segments.groupBy("term")
         .agg(F.sum("df").alias("df_global"))
         .filter(F.col("df_global") >= min_df)
+        .orderBy(F.desc("df_global"), F.asc("term"))
+        .limit(max_terms)
         .select("term")
     )
     rows = segments.join(F.broadcast(heads), "term", "left_semi").select(
-        "term", "blob", "block_offset"
+        "term", "blob", "block_offset", "block_max_tf", "block_min_dl"
     )
 
     def local_top(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,15 +102,45 @@ def build_champions(
 
         for pdf in batches:
             for rec in pdf.to_dict("records"):
-                docs, tfs, dls = decode_segment_scores(rec)
-                if docs.size == 0:
+                # block-bound-pruned top-B: g(tf, dl) <= g(max_tf,
+                # min_dl) per block, so decoding blocks in descending
+                # bound order can stop once B postings are held and the
+                # running Bth-best is strictly above every remaining
+                # bound (ties decode — the selected set must equal the
+                # full computation's exactly, tested vs brute force).
+                # Head terms are exactly the rows where full decode
+                # hurts; this turns the champions build stage from a
+                # full decode of the corpus's heaviest terms into a
+                # few-blocks-per-row skim.
+                bounds = g_impact(
+                    np.asarray(rec["block_max_tf"], dtype=np.float64),
+                    np.asarray(rec["block_min_dl"], dtype=np.float64),
+                    avgdl,
+                )
+                border = np.argsort(-bounds, kind="stable")
+                parts: list[tuple] = []
+                have, kth = 0, -np.inf
+                for b in border:
+                    if have >= budget and kth > bounds[b]:
+                        break
+                    d, t, l = decode_segment_scores(rec, [int(b)])
+                    g = g_impact(t, l, avgdl)
+                    parts.append((d.astype(np.int64), t, l, g))
+                    have += d.size
+                    if have >= budget:
+                        allg = np.concatenate([p[3] for p in parts])
+                        kth = float(np.partition(allg, -budget)[-budget])
+                if not parts:
                     continue
-                g = g_impact(tfs, dls, avgdl)
-                order = np.lexsort((docs.astype(np.int64), -g))[:budget]
+                docs = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                g = np.concatenate([p[3] for p in parts])
+                order = np.lexsort((docs, -g))[:budget]
                 yield pd.DataFrame(
                     {
                         "term": rec["term"],
-                        "doc_id": docs[order].astype(np.int64),
+                        "doc_id": docs[order],
                         "tf": tfs[order].astype(np.int64),
                         "dl": dls[order].astype(np.int64),
                         "g": g[order],
@@ -111,13 +150,12 @@ def build_champions(
     local = rows.mapInPandas(
         local_top, "term string, doc_id long, tf long, dl long, g double"
     )
-    w = Window.partitionBy("term").orderBy(F.desc("g"), F.asc("doc_id"))
-    top = local.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= budget
-    )
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["g", "doc_id"], ascending=[False, True])
+        # global top-B directly inside the per-term group (each term
+        # carries at most n_shards * budget local-top rows) — one
+        # shuffle, no separate window stage
+        pdf = pdf.sort_values(["g", "doc_id"], ascending=[False, True]).head(budget)
         return pd.DataFrame(
             {
                 "term": [pdf["term"].iloc[0]],
@@ -127,7 +165,7 @@ def build_champions(
             }
         )
 
-    return top.groupBy("term").applyInPandas(assemble, CHAMPION_SCHEMA)
+    return local.groupBy("term").applyInPandas(assemble, CHAMPION_SCHEMA)
 
 
 def write_champions(
@@ -137,13 +175,16 @@ def write_champions(
     avgdl: float,
     budget: int = 64,
     min_df: int | None = None,
+    max_terms: int = 1024,
 ) -> int:
     """Build + persist the sidecar; returns the number of championed
     terms. ``min_df=None`` -> default_min_df(n_docs)."""
     if min_df is None:
         min_df = default_min_df(n_docs)
     out = Path(out_dir) / "champions"
-    ch = build_champions(segments, avgdl, budget=budget, min_df=min_df)
+    ch = build_champions(
+        segments, avgdl, budget=budget, min_df=min_df, max_terms=max_terms
+    )
     ch.coalesce(4).write.mode("overwrite").parquet(str(out))
     return segments.sparkSession.read.parquet(str(out)).count()
 

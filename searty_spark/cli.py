@@ -259,6 +259,7 @@ def cmd_bench_queries(args) -> None:
                     champs.lookup(terms), dfl, args.k,
                     stats["n_docs"], stats["avgdl"],
                 ),
+                pre_partitioned=True,
             ).collect()
         elif args.mode == "phrase":
             from searty_spark.phrase_seg import phrase_bm25_topk_segments
@@ -287,6 +288,7 @@ def cmd_bench_queries(args) -> None:
                     champs.lookup(terms), dfl, args.k,
                     stats["n_docs"], stats["avgdl"],
                 ),
+                pre_partitioned=True,
             ).collect()
         return time.perf_counter() - t0
 

@@ -385,8 +385,21 @@ def wand_topk(
     df_lookup=None,
     terms: list[str] | None = None,
     theta0: float = 0.0,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """(doc_id, score) exact BM25 top-k from the segment table.
+
+    ``pre_partitioned=True`` is the warm-server fast path: the CALLER
+    asserts ``segments`` is already hash-partitioned by ``shard``
+    (e.g. ``.repartition(n_shards, "shard").cache()`` done once at
+    startup — cmd_bench_queries does exactly this). The per-query
+    repartition exchange is then skipped entirely: term filter,
+    projection and df_global attach are narrow, so the query runs as
+    ONE stage (mapInPandas over the cached partitions) plus the
+    TakeOrdered reduce. Correctness REQUIRES the assertion — a shard
+    split across partitions would split a doc's term contributions
+    into separate local top-ks and underscore it; do not pass this for
+    an arbitrary DataFrame.
 
     ``n_shards`` caps the query-side parallelism at the shard count —
     without it the repartition uses spark.sql.shuffle.partitions and
@@ -437,11 +450,14 @@ def wand_topk(
         for shard, rows in by_shard.items():
             yield shard_topk(rows, n_docs, avgdl, k, theta0)
 
-    rep = (
-        withg.repartition(n_shards, "shard")
-        if n_shards
-        else withg.repartition("shard")
-    )
+    if pre_partitioned:
+        rep = withg
+    else:
+        rep = (
+            withg.repartition(n_shards, "shard")
+            if n_shards
+            else withg.repartition("shard")
+        )
     local = rep.mapInPandas(run, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -40,7 +40,7 @@ def test_champions_match_bruteforce(spark, small_corpus, seg, corpus_stats):
     B = 8
     ch = {
         r["term"]: (list(r["doc_ids"]), list(r["tfs"]), list(r["dls"]))
-        for r in build_champions(seg, avgdl, budget=B, min_df=3).collect()
+        for r in build_champions(seg, avgdl, budget=B, min_df=3, max_terms=10**6).collect()
     }
     assert ch, "head terms expected at min_df=3"
     # brute force from raw postings
@@ -81,7 +81,7 @@ def test_theta0_identity(spark, small_corpus, seg, corpus_stats, query, k):
         r["term"]: (
             np.asarray(r["doc_ids"]), np.asarray(r["tfs"]), np.asarray(r["dls"])
         )
-        for r in build_champions(seg, avgdl, budget=16, min_df=1).collect()
+        for r in build_champions(seg, avgdl, budget=16, min_df=1, max_terms=10**6).collect()
         if r["term"] in terms
     }
     p = build_postings(small_corpus)
@@ -117,7 +117,7 @@ def test_theta0_is_lower_bound(spark, small_corpus, seg, corpus_stats):
         r["term"]: (
             np.asarray(r["doc_ids"]), np.asarray(r["tfs"]), np.asarray(r["dls"])
         )
-        for r in build_champions(seg, avgdl, budget=16, min_df=1).collect()
+        for r in build_champions(seg, avgdl, budget=16, min_df=1, max_terms=10**6).collect()
     }
     for query in ["shared", "module query", "shared phrase"]:
         terms = sorted(set(tokenize(query)))
@@ -162,7 +162,8 @@ def test_write_index_emits_champions_and_query_identity(
     from searty_spark.champions import write_champions
 
     n = write_champions(
-        load_segments(spark, d), d, stats["n_docs"], stats["avgdl"], min_df=2
+        load_segments(spark, d), d, stats["n_docs"], stats["avgdl"], min_df=2,
+        max_terms=10**6,
     )
     assert n > 0
     cc = ChampionClient(spark, d)

@@ -120,3 +120,32 @@ def test_duplicate_term_rows_disjoint_sum_overlap_raise(spark, small_corpus, ora
             overlapping, None, "shared phrase", k=10,
             n_docs=n_docs, avgdl=avgdl, n_shards=2,
         ).collect()
+
+
+def test_wand_pre_partitioned_identity(spark, small_corpus):
+    """The warm-server fast path (caller-maintained shard partitioning,
+    per-query exchange skipped) must be frame-identical to the default
+    path for every query/k."""
+    from searty_spark.build import build_postings, doc_stats
+    from searty_spark.segments import build_segments
+    from searty_spark.wand import wand_topk
+
+    from pyspark.sql import functions as F
+
+    p = build_postings(small_corpus, with_doc_len=True)
+    s = doc_stats(small_corpus)
+    seg = build_segments(p, s, n_shards=4, n_buckets=8)
+    warm = seg.repartition(4, "shard").cache()
+    warm.count()
+    row = s.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["a"])
+    for q, k in [("shared", 10), ("shared phrase", 5), ("module query", 20)]:
+        base = [tuple(r) for r in wand_topk(
+            seg, None, q, k=k, n_docs=n_docs, avgdl=avgdl, n_shards=4
+        ).collect()]
+        fast = [tuple(r) for r in wand_topk(
+            warm, None, q, k=k, n_docs=n_docs, avgdl=avgdl, n_shards=4,
+            pre_partitioned=True,
+        ).collect()]
+        assert fast == base, q
+    warm.unpersist()
