@@ -139,7 +139,9 @@ def main():
 
     t, _ = timed(
         lambda: [
-            phrase_ranges_segments(seg, q, n_shards=N_SHARDS).collect()
+            phrase_ranges_segments(
+                seg, q, n_shards=N_SHARDS, pre_partitioned=True
+            ).collect()
             for q in PHRASE_QUERIES
         ]
     )
@@ -152,6 +154,7 @@ def main():
         lambda: phrase_bm25_topk_segments(
             seg, PHRASE_QUERIES[0], k=10,
             n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=N_SHARDS,
+            pre_partitioned=True,
         ).collect()
     )
     extra["phrase_bm25_seg"] = round(t, 4)

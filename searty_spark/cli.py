@@ -269,6 +269,7 @@ def cmd_bench_queries(args) -> None:
                 n_docs=stats["n_docs"], avgdl=stats["avgdl"],
                 n_shards=stats["n_shards"],
                 df_lookup=dic.lookup(sorted(set(tokenize(q)))),
+                pre_partitioned=True,
             ).collect()
         elif args.mode == "regex":
             from searty_spark.query import regex_search_segments

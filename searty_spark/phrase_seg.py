@@ -146,10 +146,18 @@ def _shard_phrase(rows: dict[str, dict], toks: list[str], width: int) -> pd.Data
 
 
 def phrase_ranges_segments(
-    segments: DataFrame, query: str, n: int = NGRAM_N, n_shards: int | None = None
+    segments: DataFrame,
+    query: str,
+    n: int = NGRAM_N,
+    n_shards: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """(doc_id, start, end) coalesced phrase match ranges — identical
-    output to query.phrase_match_ranges, from the compressed index."""
+    output to query.phrase_match_ranges, from the compressed index.
+
+    ``pre_partitioned``: same warm-server contract as
+    wand.wand_topk — the caller asserts ``segments`` is already
+    hash-partitioned by shard, and the per-query exchange is skipped."""
     spark = segments.sparkSession
     toks = tokenize(query, n)
     if not toks:
@@ -176,9 +184,14 @@ def phrase_ranges_segments(
         for shard, rows in by_shard.items():
             yield _shard_phrase(rows, toks, width)
 
-    rep = (
-        pruned.repartition(n_shards, "shard") if n_shards else pruned.repartition("shard")
-    )
+    if pre_partitioned:
+        rep = pruned
+    else:
+        rep = (
+            pruned.repartition(n_shards, "shard")
+            if n_shards
+            else pruned.repartition("shard")
+        )
     local = rep.mapInPandas(run, "doc_id long, start int, end int")
     return local.orderBy("doc_id", "start")
 
@@ -275,12 +288,14 @@ def phrase_bm25_topk_segments(
     avgdl: float | None = None,
     n_shards: int | None = None,
     df_lookup=None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """(doc_id, score, n_matches) — ranked phrase search over the
     compressed segments: identical output to query.phrase_bm25_topk.
     The phrase intersection prunes to match docs first; BM25 impacts
     then decode only the blocks holding those docs. df_global follows
-    the same lookup contract as wand_topk (dict / DataFrame / None)."""
+    the same lookup contract as wand_topk (dict / DataFrame / None);
+    ``pre_partitioned`` follows wand_topk's warm-server contract."""
     from searty_spark.wand import _with_df_global
 
     spark = segments.sparkSession
@@ -309,8 +324,13 @@ def phrase_bm25_topk_segments(
         for shard, rows in by_shard.items():
             yield _shard_phrase_bm25(rows, toks, n_docs, avgdl)
 
-    rep = (
-        pruned.repartition(n_shards, "shard") if n_shards else pruned.repartition("shard")
-    )
+    if pre_partitioned:
+        rep = pruned
+    else:
+        rep = (
+            pruned.repartition(n_shards, "shard")
+            if n_shards
+            else pruned.repartition("shard")
+        )
     local = rep.mapInPandas(run, "doc_id long, score double, n_matches long")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
