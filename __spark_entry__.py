@@ -465,9 +465,19 @@ def q_embedding_dup_pairs(spark, sf):
 
 def q_embedding_dup_pairs_lsh(spark, sf):
     """Scale path of embedding_dup_pairs: sign-LSH band join + exact
-    verify; gated against the SAME all-pairs oracle (band recall is
-    1.0 on the test corpora, so the gate checks recall too)."""
-    return ann.cosine_dup_pairs_lsh(_emb(spark, sf), threshold=0.45, dim=64)
+    verify; gated against the SAME all-pairs oracle, so band recall is
+    part of the gate. The gate's 0.45 threshold has NO margin over the
+    background similarity (the adversarial case for LSH), so the
+    correct configuration is more bands: at n_bands=64 a boundary pair
+    (cos = 0.45, per-band collision 0.177) misses all bands with
+    probability (1 - 0.177)^64 ~= 4e-6, vs 4.4% at the 16-band default
+    (which at sf0.1 statistically missed 3 of 144 true pairs). Compute
+    scales linearly with bands — the knob a production near-dup run at
+    cos >= 0.9 turns the other way (16 bands give ~1 - 2e-13 recall
+    there; see ann.lsh_band_keys)."""
+    return ann.cosine_dup_pairs_lsh(
+        _emb(spark, sf), threshold=0.45, dim=64, n_bands=64
+    )
 
 
 def q_ivf_topk_trained(spark, sf):
