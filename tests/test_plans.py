@@ -143,3 +143,27 @@ def test_phrase_bm25_restricts_scoring_to_match_docs(spark, small_corpus):
     assert "TakeOrderedAndProject" in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_wand_query_never_reads_or_shuffles_positions(spark, disk_index):
+    """The round-4 lesson, pinned: Catalyst cannot column-prune through
+    mapInPandas, so wand_topk must project SCORE_COLS explicitly — the
+    positions stream (pos_blob, often the index's largest column) must
+    appear NOWHERE in a BM25 query plan: not in the parquet ReadSchema,
+    not in the exchange. The regex candidate conjunction shares the
+    contract."""
+    from searty_spark.index import load_segments, load_stats
+    from searty_spark.phrase_seg import docs_with_all_terms_segments
+    from searty_spark.wand import wand_topk
+
+    stats = load_stats(disk_index)
+    seg = load_segments(spark, disk_index)
+    q = wand_topk(
+        seg, None, "shared", k=10,
+        n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_shards=2,
+        df_lookup=spark.read.parquet(f"{disk_index}/dictionary"),
+    )
+    plan = _plan(q)
+    assert "pos_blob" not in plan, plan
+    plan2 = _plan(docs_with_all_terms_segments(seg, ["sha", "har"], n_shards=2))
+    assert "pos_blob" not in plan2, plan2
