@@ -1189,7 +1189,8 @@ qm AS (SELECT t0.doc_id, t0.text, t0.toks,
 
 _GOPHER_PASS_PRED = (
     "n_words BETWEEN 16 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0 "
-    "AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8 AND top_word_ratio <= 0.3"
+    "AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8 "
+    "AND stopword_ratio >= 0.02 AND top_word_ratio <= 0.3"
 )
 
 

@@ -89,6 +89,20 @@ def ensure_index(n_docs: int) -> str:
         print(f"grafted champions: {n} terms in {time.perf_counter() - t0:.1f}s",
               flush=True)
         spark.stop()
+    if not (Path(idx) / "champions_meta.json").exists():
+        # sidecar predates the fingerprint stamp (round 4) but is
+        # KNOWN-derived from these exact segments (this script built
+        # it); stamp it rather than rebuild 1M docs' champion skim
+        from searty_spark.champions import CHAMPION_FORMAT, segment_fingerprint
+        from searty_spark.index import load_segments
+        from searty_spark.session import get_spark
+
+        spark = get_spark(cpus=32, app_name="champ-stamp")
+        fp = segment_fingerprint(load_segments(spark, idx))
+        (Path(idx) / "champions_meta.json").write_text(
+            json.dumps({"format": CHAMPION_FORMAT, "fingerprint": fp})
+        )
+        spark.stop()
     return idx
 
 
@@ -144,8 +158,65 @@ def main():
         report[name]["p95_ratio_seeded_over_unseeded"] = round(
             report[name]["seeded"]["p95"] / report[name]["unseeded"]["p95"], 3
         )
+    report["keep_frac"] = keep_frac(idx)
     (REPO / "BENCH" / "champions_1m.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report))
+
+
+def keep_frac(idx: str, k: int = 10) -> dict:
+    """Per-query-term fraction of blocks the theta0 seed CANNOT prune
+    at kernel entry — the datum behind 'champions prune where they can
+    help' (VERDICT r4 task 5). A term's block b survives when
+    bound(b) + sum(other query terms' max block bounds) >= theta0; for
+    a single-term query that reduces to bound(b) >= theta0. keep_frac
+    1.0 = theta0 skips nothing (the ultra-common-term worst case);
+    lower = real pruning."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from searty_spark.champions import ChampionClient, champion_theta
+    from searty_spark.index import load_segments, load_stats
+    from searty_spark.session import get_spark
+    from searty_spark.tokenize import tokenize
+    from searty_spark.wand import TermDfClient, bm25_impact
+
+    spark = get_spark(cpus=32, app_name="champ-keepfrac")
+    stats = load_stats(idx)
+    seg = load_segments(spark, idx)
+    cc = ChampionClient(spark, idx)
+    dic = TermDfClient(spark, idx)
+    out: dict = {"stale_sidecar": cc.stale}
+    for name, qs in QUERY_SETS.items():
+        for q in qs:
+            terms = sorted(set(tokenize(q)))
+            dfs = dic.lookup(terms)
+            ch = cc.lookup(terms)
+            theta0 = champion_theta(ch, dfs, k, stats["n_docs"], stats["avgdl"])
+            rows = seg.filter(F.col("term").isin(terms)).select(
+                "term", "df", "block_max_tf", "block_min_dl"
+            ).collect()
+            bounds = {}
+            for r in rows:
+                b = bm25_impact(
+                    np.asarray(r["block_max_tf"], dtype=np.float64),
+                    np.asarray(r["block_min_dl"], dtype=np.float64),
+                    stats["n_docs"], stats["avgdl"], int(dfs[r["term"]]),
+                )
+                bounds.setdefault(r["term"], []).append(b)
+            per_term = {}
+            ubs = {t: max(float(b.max()) for b in bs) for t, bs in bounds.items()}
+            for t, bs in bounds.items():
+                rest = sum(v for x, v in ubs.items() if x != t)
+                total = sum(b.size for b in bs)
+                kept = sum(int((b + rest >= theta0).sum()) for b in bs)
+                per_term[t] = round(kept / total, 4) if total else 1.0
+            out[f"{name}:{q}"] = {
+                "theta0": round(theta0, 4),
+                "df": {t: int(dfs.get(t, 0)) for t in terms},
+                "keep_frac": per_term,
+            }
+    spark.stop()
+    return out
 
 
 if __name__ == "__main__":

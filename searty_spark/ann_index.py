@@ -78,13 +78,24 @@ def write_ann_index(
     sample: int = 4096,
     m: int = 8,
     pq_k: int = 16,
+    cents: np.ndarray | None = None,
+    books: np.ndarray | None = None,
 ) -> dict:
     """Train (bounded driver-side sample) + one distributed
-    assign/encode pass + partitioned write. Returns the stats dict."""
+    assign/encode pass + partitioned write. Returns the stats dict.
+    Pass pre-trained ``cents``/``books`` to encode under FROZEN
+    codebooks instead of training — the twin append_ann_index uses for
+    its append == rebuild identity (codes are a pure function of
+    (vector, codebooks), so the two must write identical rows)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    cents = ivf_train(embeddings, n_cells=n_cells, n_iter=n_iter, sample=sample)
-    books = pq_train(embeddings, m=m, k=pq_k, n_iter=n_iter, sample=sample)
+    if cents is None:
+        cents = ivf_train(embeddings, n_cells=n_cells, n_iter=n_iter, sample=sample)
+    if books is None:
+        books = pq_train(embeddings, m=m, k=pq_k, n_iter=n_iter, sample=sample)
+    cents = np.asarray(cents, dtype=np.float64)
+    books = np.asarray(books, dtype=np.float64)
+    n_cells, m, pq_k = cents.shape[0], books.shape[0], books.shape[1]
     enc = _assign_encode_udf(cents, books)
     vectors = embeddings.select("vec_id", enc("embedding").alias("vc")).select(
         "vec_id", F.col("vc.cell").alias("cell"), F.col("vc.codes").alias("codes")
@@ -103,6 +114,117 @@ def write_ann_index(
         "dim": int(np.asarray(cents).shape[1]),
         "n_vectors": int(n_vectors),
     }
+    (out / "ann_stats.json").write_text(json.dumps(stats))
+    return stats
+
+
+def append_ann_index(
+    new_embeddings: DataFrame,
+    index_dir: str,
+    check_disjoint: bool = True,
+) -> dict:
+    """Incremental ingest (VERDICT r4 task 4): encode a new embedding
+    batch under the index's FROZEN codebooks and append its rows to the
+    cell partitions — no retraining, no re-encoding of existing
+    vectors. EXACT by construction: codes are a pure function of
+    (vector, codebooks), so the appended index is row-identical to a
+    full rebuild of old ∪ new under the same codebooks (tested).
+    Freezing the codebooks is also what keeps every pre-existing code
+    valid; retraining would require a full re-encode — that case is a
+    rebuild, not an append.
+
+    ``check_disjoint`` guards vec_id uniqueness with one column-pruned
+    semi-join against the stored vec_id column before any write (the
+    same fail-before-write policy as merge_indexes' schema check). At
+    extreme scale the caller who guarantees unique ids upstream can
+    turn it off — the check is the only part of append whose cost
+    grows with the EXISTING corpus; the encode+write pass scales with
+    the new batch alone.
+
+    Reference shape: build-once/query-many + incremental merge,
+    ref lib/indexer/merge.go:455-502 — re-expressed as a partitioned-
+    table append instead of a posting-list rewrite."""
+    spark = new_embeddings.sparkSession
+    stats, cents, books, vectors = load_ann_index(spark, index_dir)
+    if check_disjoint:
+        dup = (
+            new_embeddings.select("vec_id")
+            .join(vectors.select("vec_id"), "vec_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"append would duplicate vec_id {dup[0]['vec_id']} already in "
+                f"{index_dir}; vec_id spaces must be disjoint"
+            )
+    enc = _assign_encode_udf(cents, books)
+    rows = new_embeddings.select("vec_id", enc("embedding").alias("vc")).select(
+        "vec_id", F.col("vc.cell").alias("cell"), F.col("vc.codes").alias("codes")
+    )
+    out = Path(index_dir)
+    rows.write.partitionBy("cell").mode("append").parquet(str(out / "vectors"))
+    stats["n_vectors"] = int(spark.read.parquet(str(out / "vectors")).count())
+    (out / "ann_stats.json").write_text(json.dumps(stats))
+    return stats
+
+
+def merge_ann_indexes(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    check_disjoint: bool = True,
+) -> dict:
+    """Merge same-codebook ANN artifacts (the text index's
+    merge_indexes analogue). Because codes are codebook-relative, the
+    merge is a pure partition concat — valid ONLY when every input was
+    encoded under bit-identical codebooks; anything else fails fast
+    BEFORE any write (JSON text equality: the artifacts serialize
+    doubles exactly, so equal text == equal codebooks == equal
+    decisions). Params (m, pq_k, n_cells, dim) are covered by that
+    same check. One union + partitioned write; no decode, no
+    re-encode."""
+    if len(index_dirs) < 1:
+        raise ValueError("need at least one input index")
+    d0 = Path(index_dirs[0])
+    stats0 = json.loads((d0 / "ann_stats.json").read_text())
+    if stats0.get("format") != ANN_FORMAT:
+        raise ValueError(f"{index_dirs[0]} is format {stats0.get('format')}")
+    cents_txt = (d0 / "centroids.json").read_text()
+    books_txt = (d0 / "codebooks.json").read_text()
+    for d in index_dirs[1:]:
+        p = Path(d)
+        s = json.loads((p / "ann_stats.json").read_text())
+        if s.get("format") != ANN_FORMAT:
+            raise ValueError(f"{d} is format {s.get('format')}")
+        if (p / "centroids.json").read_text() != cents_txt or (
+            p / "codebooks.json"
+        ).read_text() != books_txt:
+            raise ValueError(
+                f"cannot merge {index_dirs[0]} with {d}: codebooks differ — "
+                "codes are codebook-relative; re-encode one side "
+                "(write_ann_index with the other's cents/books) first"
+            )
+    vecs = None
+    for d in index_dirs:
+        v = spark.read.parquet(str(Path(d) / "vectors"))
+        vecs = v if vecs is None else vecs.unionByName(v)
+    if check_disjoint:
+        dup = (
+            vecs.groupBy("vec_id").count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"vec_id {dup[0]['vec_id']} appears in more than one input; "
+                "vec_id spaces must be disjoint"
+            )
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    vecs.write.partitionBy("cell").mode("overwrite").parquet(str(out / "vectors"))
+    (out / "centroids.json").write_text(cents_txt)
+    (out / "codebooks.json").write_text(books_txt)
+    stats = dict(stats0)
+    stats["n_vectors"] = int(spark.read.parquet(str(out / "vectors")).count())
     (out / "ann_stats.json").write_text(json.dumps(stats))
     return stats
 

@@ -33,6 +33,7 @@ this is part of the WAND/top-k surface the north rule adds.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 from pathlib import Path
 
@@ -46,6 +47,27 @@ from searty_spark import BM25_B, BM25_K1
 CHAMPION_SCHEMA = (
     "term string, doc_ids array<long>, tfs array<long>, dls array<long>"
 )
+
+CHAMPION_FORMAT = 1
+
+
+def segment_fingerprint(segments: DataFrame) -> int:
+    """Deterministic identity of a segment table: an order-independent
+    sum of per-row hashes over (term, shard, df, cf). Computed WITHOUT
+    touching blobs (df/cf are tiny columns), so it costs one scan of
+    the n_terms x n_shards row table. theta0 soundness requires every
+    champion row to be a real posting of the CURRENT segments; the
+    sidecar stamps this fingerprint at build time and ChampionClient
+    degrades to theta0=0 (no pruning, still exact) when the stamp no
+    longer matches — e.g. a sidecar copied between indexes, or segments
+    rewritten by a path that forgot to re-derive. Any segment rewrite
+    that changes postings changes some (term, shard, df, cf) row, which
+    flips the sum. Summed in decimal(38,0) (ANSI long sum would
+    overflow) and reduced mod 2^64 driver-side."""
+    row = segments.agg(
+        F.sum(F.xxhash64("term", "shard", "df", "cf").cast("decimal(38,0)")).alias("fp")
+    ).collect()[0]
+    return int(row["fp"] or 0) % (1 << 64)
 
 
 def g_impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
@@ -64,36 +86,64 @@ def default_min_df(n_docs: int) -> int:
     return max(256, n_docs // 100)
 
 
+def head_terms(
+    df_source: DataFrame, min_df: int, max_terms: int, df_col: str = "df"
+) -> list[str]:
+    """The championed vocabulary: terms with df_global >= min_df,
+    capped at max_terms (df_global DESC, term tiebreak — deterministic).
+    ``df_source`` is either the persisted dictionary (term, df_global —
+    already aggregated, the cheap path write_index uses) or the raw
+    segment-row table (per-shard df rows, summed here). Bounded driver
+    fetch: at most max_terms strings."""
+    if "df_global" in df_source.columns:
+        agg = df_source.select("term", "df_global")
+    else:
+        agg = df_source.groupBy("term").agg(F.sum(df_col).alias("df_global"))
+    rows = (
+        agg.filter(F.col("df_global") >= min_df)
+        .orderBy(F.desc("df_global"), F.asc("term"))
+        .limit(max_terms)
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
 def build_champions(
     segments: DataFrame,
     avgdl: float,
     budget: int = 64,
     min_df: int = 1024,
     max_terms: int = 1024,
+    heads: list[str] | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """segments -> (term, doc_ids, tfs, dls): each head term's top-
     ``budget`` postings by g_impact, arrays ordered (g DESC, doc_id).
 
-    Plan: df_global aggregate over the tiny segment-row table picks the
-    head terms (broadcast semi-join back); each (shard, term) row
-    decodes ONCE and emits only its local top-B rows; a per-term window
-    cuts the global top-B; applyInPandas assembles the arrays. All
-    stages are keyed by term — uniform after the head-term cut."""
+    Plan: the head-term list (<= max_terms strings, bounded) becomes a
+    pushed isin filter on the segment scan — with ``n_buckets`` also a
+    bucket partition prune, the same selective-read shape as
+    wand_topk. Each (shard, term) row decodes ONCE and emits only its
+    local top-B rows (map-side reduction BEFORE the shuffle — blobs
+    never move); one groupBy(term) applyInPandas cuts the global top-B
+    and assembles the arrays."""
     # min_df floors the candidates; max_terms CAPS the build cost and
     # sidecar size deterministically (df_global DESC, term tiebreak):
     # theta seeding only ever needs the hottest terms — a corpus whose
     # vocabulary is so small that thousands of terms clear min_df (the
     # synthetic fixture does) must not turn the champions stage into a
     # decode pass over a third of the dictionary.
-    heads = (
-        segments.groupBy("term")
-        .agg(F.sum("df").alias("df_global"))
-        .filter(F.col("df_global") >= min_df)
-        .orderBy(F.desc("df_global"), F.asc("term"))
-        .limit(max_terms)
-        .select("term")
-    )
-    rows = segments.join(F.broadcast(heads), "term", "left_semi").select(
+    if heads is None:
+        heads = head_terms(segments, min_df, max_terms)
+    rows = segments.filter(F.col("term").isin(heads))
+    if n_buckets is not None and "bucket" in segments.columns:
+        from searty_spark.index import term_buckets
+
+        rows = rows.filter(
+            F.col("bucket").isin(term_buckets(segments.sparkSession, heads, n_buckets))
+        )
+    rows = rows.select(
         "term", "blob", "block_offset", "block_max_tf", "block_min_dl"
     )
 
@@ -176,16 +226,28 @@ def write_champions(
     budget: int = 64,
     min_df: int | None = None,
     max_terms: int = 1024,
+    dictionary: DataFrame | None = None,
+    n_buckets: int | None = None,
 ) -> int:
     """Build + persist the sidecar; returns the number of championed
-    terms. ``min_df=None`` -> default_min_df(n_docs)."""
+    terms. ``min_df=None`` -> default_min_df(n_docs). Pass the
+    persisted ``dictionary`` when one exists (write_index does): head
+    selection then reads the tiny (term, df_global) table instead of
+    re-aggregating the segment rows. Writes champions_meta.json with
+    the segment fingerprint so ChampionClient can detect a stale
+    sidecar and degrade to theta0=0."""
     if min_df is None:
         min_df = default_min_df(n_docs)
     out = Path(out_dir) / "champions"
+    heads = head_terms(dictionary if dictionary is not None else segments,
+                       min_df, max_terms)
     ch = build_champions(
-        segments, avgdl, budget=budget, min_df=min_df, max_terms=max_terms
+        segments, avgdl, budget=budget, min_df=min_df, max_terms=max_terms,
+        heads=heads, n_buckets=n_buckets,
     )
     ch.coalesce(4).write.mode("overwrite").parquet(str(out))
+    meta = {"format": CHAMPION_FORMAT, "fingerprint": segment_fingerprint(segments)}
+    (Path(out_dir) / "champions_meta.json").write_text(json.dumps(meta))
     return segments.sparkSession.read.parquet(str(out)).count()
 
 
@@ -227,6 +289,31 @@ def champion_theta(
     return float(np.partition(sums, -k)[-k])
 
 
+_VERIFY_CACHE: dict[tuple, bool] = {}
+
+
+def _sidecar_state_key(index_dir: str) -> tuple:
+    """Filesystem identity of (sidecar, segments) used to memoize the
+    fingerprint verification per process: one-shot paths (query_index
+    constructs a ChampionClient per query) must not pay a scan per
+    query. Any segment rewrite touches some partition directory's
+    mtime; meta/stats rewrites touch theirs."""
+    import os
+
+    d = Path(index_dir).resolve()
+    keys: list[int] = []
+    for p in ("champions_meta.json", "stats.json"):
+        f = d / p
+        keys.append(f.stat().st_mtime_ns if f.exists() else -1)
+    mx = -1
+    seg = d / "segments"
+    if seg.exists():
+        for root, _dirs, _files in os.walk(seg):
+            mx = max(mx, os.stat(root).st_mtime_ns)
+    keys.append(mx)
+    return (str(d), *keys)
+
+
 class ChampionClient:
     """Bounded per-query champion fetch + driver-side hot-term cache —
     the same deployment shape as wand.TermDfClient: the sidecar never
@@ -235,11 +322,38 @@ class ChampionClient:
 
     _ABSENT = object()
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, verify: bool = True):
+        """``verify=True`` (default) recomputes the segment fingerprint
+        once at init (one scan of the tiny row table, blobs untouched)
+        and compares it to the stamp write_champions left in
+        champions_meta.json. On mismatch — a sidecar copied from
+        another index, or segments rewritten without re-deriving — the
+        client degrades to an EMPTY sidecar: every lookup returns {},
+        champion_theta yields 0.0, pruning is off, results stay exact.
+        Mirrors the stats.json format fail-fast policy, but soft: a
+        missing/stale sidecar is a performance state, not an error."""
         import threading
 
         p = Path(index_dir) / "champions"
         self._df = spark.read.parquet(str(p)) if p.exists() else None
+        self.stale = False
+        meta_p = Path(index_dir) / "champions_meta.json"
+        if self._df is not None and verify:
+            if not meta_p.exists():
+                self._df, self.stale = None, True  # pre-stamp sidecar: unprovable
+            else:
+                key = _sidecar_state_key(index_dir)
+                ok = _VERIFY_CACHE.get(key)
+                if ok is None:
+                    meta = json.loads(meta_p.read_text())
+                    from searty_spark.index import load_segments
+
+                    ok = meta.get("format") == CHAMPION_FORMAT and meta.get(
+                        "fingerprint"
+                    ) == segment_fingerprint(load_segments(spark, index_dir))
+                    _VERIFY_CACHE[key] = ok
+                if not ok:
+                    self._df, self.stale = None, True
         self._cache: dict[str, object] = {}
         self._lock = threading.Lock()
 

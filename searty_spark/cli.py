@@ -51,6 +51,19 @@ def cmd_build(args) -> None:
     print(json.dumps({"wall_sec": time.perf_counter() - t0, **m["stats"]}))
 
 
+def cmd_upgrade(args) -> None:
+    """Format-1 -> format-2 re-encode without the source corpus
+    (index.upgrade_index): merge-of-one over the old segments,
+    sidecars re-derived/copied."""
+    from searty_spark.index import upgrade_index
+    from searty_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-upgrade")
+    t0 = time.perf_counter()
+    stats = upgrade_index(spark, args.index, args.out)
+    print(json.dumps({"wall_sec": time.perf_counter() - t0, **stats}))
+
+
 def cmd_merge(args) -> None:
     from searty_spark.merge import compact_partials, merge_indexes
     from searty_spark.session import get_spark
@@ -137,17 +150,34 @@ def cmd_query(args) -> None:
 
 def cmd_build_ann(args) -> None:
     """Persisted ANN index build (ann_index.write_ann_index): trained
-    IVF centroids + PQ codebooks + cell-partitioned codes parquet."""
-    from searty_spark.ann_index import write_ann_index
+    IVF centroids + PQ codebooks + cell-partitioned codes parquet.
+    --append instead encodes the batch under the existing index's
+    frozen codebooks and appends its partitions."""
+    from searty_spark.ann_index import append_ann_index, write_ann_index
     from searty_spark.session import get_spark
 
     spark = get_spark(cpus=args.cpus, app_name="searty-build-ann")
     emb = spark.read.parquet(args.embeddings)
     t0 = time.perf_counter()
-    stats = write_ann_index(
-        emb, args.out, n_cells=args.cells, n_iter=args.iters,
-        sample=args.sample, m=args.m, pq_k=args.pq_k,
-    )
+    if args.append:
+        stats = append_ann_index(emb, args.out)
+    else:
+        stats = write_ann_index(
+            emb, args.out, n_cells=args.cells, n_iter=args.iters,
+            sample=args.sample, m=args.m, pq_k=args.pq_k,
+        )
+    print(json.dumps({"wall_sec": time.perf_counter() - t0, **stats}))
+
+
+def cmd_merge_ann(args) -> None:
+    """Merge same-codebook ANN artifacts (partition concat; fails fast
+    on any codebook mismatch)."""
+    from searty_spark.ann_index import merge_ann_indexes
+    from searty_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-merge-ann")
+    t0 = time.perf_counter()
+    stats = merge_ann_indexes(spark, args.indexes, args.out)
     print(json.dumps({"wall_sec": time.perf_counter() - t0, **stats}))
 
 
@@ -362,6 +392,11 @@ def main(argv=None) -> None:
                         "keep-first (ref merge.go:137-190 semantics)")
     m.set_defaults(fn=cmd_merge)
 
+    up = sub.add_parser("upgrade")
+    up.add_argument("--index", required=True, help="format-1 index dir")
+    up.add_argument("--out", required=True)
+    up.set_defaults(fn=cmd_upgrade)
+
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("-k", type=int, default=10)
@@ -389,7 +424,17 @@ def main(argv=None) -> None:
     ba.add_argument("--sample", type=int, default=4096)
     ba.add_argument("--m", type=int, default=8)
     ba.add_argument("--pq-k", type=int, default=16)
+    ba.add_argument(
+        "--append", action="store_true",
+        help="encode --embeddings under --out's FROZEN codebooks and append "
+        "to its cell partitions (exact; no retrain/re-encode)",
+    )
     ba.set_defaults(fn=cmd_build_ann)
+
+    ma = sub.add_parser("merge-ann")
+    ma.add_argument("--out", required=True)
+    ma.add_argument("indexes", nargs="+", help="same-codebook ANN index dirs")
+    ma.set_defaults(fn=cmd_merge_ann)
 
     qa = sub.add_parser("query-ann")
     qa.add_argument("--index", required=True)

@@ -119,6 +119,7 @@ def merge_indexes(
     index_dirs: list[str],
     out_dir: str,
     dedup_docs: bool = False,
+    derive_champions: bool = True,
 ) -> dict:
     """Merge N on-disk indexes into one.
 
@@ -147,7 +148,10 @@ def merge_indexes(
     if not all(s.get("analyzer", "trigram") == analyzer for s in stats_list):
         raise ValueError("cannot merge indexes built with different analyzers")
     if dedup_docs:
-        return _merge_dedup(spark, index_dirs, out_dir, n_shards, n_buckets, analyzer)
+        return _merge_dedup(
+            spark, index_dirs, out_dir, n_shards, n_buckets, analyzer,
+            derive_champions=derive_champions,
+        )
     n_docs = sum(s["n_docs"] for s in stats_list)
     sum_dl = sum(s["sum_dl"] for s in stats_list)
     avgdl = sum_dl / n_docs
@@ -206,10 +210,21 @@ def merge_indexes(
 
     # champion sidecar: re-derived from the MERGED segments under the
     # merged stats — identical to a single-shot build's sidecar (the
-    # sidecar is a pure function of segments + (n_docs, avgdl))
-    from searty_spark.champions import write_champions
+    # sidecar is a pure function of segments + (n_docs, avgdl)).
+    # derive_champions=False is for INTERMEDIATE compaction tiers
+    # (compact_partials): a tier's sidecar would be discarded by the
+    # next merge anyway, so skipping it removes a head-term decode skim
+    # per tier from the continuous-ingest path. A skipped tier simply
+    # has no champions dir — ChampionClient degrades to theta0=0 if
+    # queried directly, still exact.
+    if derive_champions:
+        from searty_spark.champions import write_champions
 
-    write_champions(load_segments(spark, out_dir), out_dir, n_docs, avgdl)
+        write_champions(
+            load_segments(spark, out_dir), out_dir, n_docs, avgdl,
+            dictionary=spark.read.parquet(str(out / "dictionary")),
+            n_buckets=n_buckets,
+        )
 
     # --- symbol/package metadata (ref merge.go:240-309, M4) -------------
     # Entity ids are content hashes (md5 of name), identical across
@@ -241,6 +256,7 @@ def _merge_dedup(
     n_shards: int,
     n_buckets: int,
     analyzer: str = "trigram",
+    derive_champions: bool = True,
 ) -> dict:
     """Shared-document-identity merge (see merge_indexes docstring)."""
     from pyspark.sql import Window
@@ -318,9 +334,14 @@ def _merge_dedup(
     ).select(
         "term", F.xxhash64("term").alias("token_id"), "df_global"
     ).write.mode("overwrite").parquet(str(out / "dictionary"))
-    from searty_spark.champions import write_champions
+    if derive_champions:
+        from searty_spark.champions import write_champions
 
-    write_champions(load_segments(spark, out_dir), out_dir, n_docs, avgdl)
+        write_champions(
+            load_segments(spark, out_dir), out_dir, n_docs, avgdl,
+            dictionary=spark.read.parquet(str(out / "dictionary")),
+            n_buckets=n_buckets,
+        )
 
     # sidecar: definitions are doc-keyed facts -> drop losers' rows;
     # entities re-derive from the surviving facts / surviving docs so
@@ -379,7 +400,11 @@ def compact_partials(
     operational choice.
 
     Intermediate tiers land under ``<out_dir>.tiers/``; the final tier
-    writes ``out_dir`` itself.
+    writes ``out_dir`` itself. Only the FINAL tier derives the champion
+    sidecar — an intermediate tier's sidecar would be thrown away by
+    the next merge, so deriving it per tier was pure write
+    amplification in exactly the continuous-ingest path where
+    compaction runs most (each derivation is a head-term decode skim).
     """
     if fanin < 2:
         raise ValueError("fanin must be >= 2 (each step must reduce the input count)")
@@ -396,7 +421,8 @@ def compact_partials(
                 nxt.append(group[0])
                 continue
             d = f"{out_dir}.tiers/t{tier}_{i // fanin}"
-            merge_indexes(spark, group, d, dedup_docs=dedup_docs)
+            merge_indexes(spark, group, d, dedup_docs=dedup_docs,
+                          derive_champions=False)
             nxt.append(d)
         dirs = nxt
         tier += 1

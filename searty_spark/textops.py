@@ -52,6 +52,7 @@ def quality_gopher(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_ratio: float = 0.8,
     max_top_word_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.02,
 ) -> DataFrame:
     """Gopher/CCNet-style repetition- and composition-conditioned
     quality dimensions (Rae et al. 2021 §A1.1 rule shapes, re-derived
@@ -62,7 +63,9 @@ def quality_gopher(
       plate/markup detector);
     - alpha_word_ratio — words containing at least one letter (tables
       of numbers / markup fail this);
-    - stopword_ratio — function-word presence (natural prose floor);
+    - stopword_ratio — function-word presence (natural prose floor;
+      real Gopher requires >= 2 stop words per doc — here a ratio
+      floor, min_stopword_ratio, so the rule is length-invariant);
     - top_word_ratio — most frequent word's share (the Gopher
       repetition signal: templated/spun pages repeat one token);
     - gopher_pass — AND of the thresholds, every comparison on the
@@ -101,6 +104,7 @@ def quality_gopher(
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
         & (F.col("symbol_ratio") <= max_symbol_ratio)
         & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
         & (top_ratio <= max_top_word_ratio)
     )
     return j.select(

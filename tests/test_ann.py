@@ -187,3 +187,76 @@ def test_ann_index_query_parity(emb, tmp_path):
         for d in scan_details
     ), scan_details
     assert all("embedding" not in d.split("ReadSchema", 1)[1][:200] for d in scan_details)
+
+
+def _vec_rows(spark, d):
+    return {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{d}/vectors").collect()
+    }
+
+
+def test_ann_append_equals_rebuild_and_merge(emb, tmp_path):
+    """ANN lifecycle (VERDICT r4 task 4): append under frozen codebooks
+    is row-identical to a full rebuild of old ∪ new with the same
+    codebooks; merge of same-codebook artifacts equals the appended
+    index; stored queries stay green over the appended index; vec_id
+    collisions and codebook mismatches fail fast before any write."""
+    import json
+
+    from searty_spark import ann_index
+
+    spark = emb.sparkSession
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    d_inc = str(tmp_path / "inc")
+    ann_index.write_ann_index(old, d_inc, n_cells=8, n_iter=2, m=8, pq_k=16)
+    _, cents, books, _ = ann_index.load_ann_index(spark, d_inc)
+    stats = ann_index.append_ann_index(new, d_inc)
+    assert stats["n_vectors"] == emb.count()
+
+    # identity twin: one-shot encode of the full set under the SAME
+    # frozen codebooks
+    d_full = str(tmp_path / "full")
+    ann_index.write_ann_index(emb, d_full, cents=cents, books=books)
+    assert _vec_rows(spark, d_inc) == _vec_rows(spark, d_full)
+
+    # stored query over the appended index == recompute with the same
+    # codebooks over the full set
+    got = [
+        tuple(r)
+        for r in ann_index.ivf_pq_topk_indexed(
+            emb, d_inc, 0, k=10, n_probe=2, refine=50
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in ann.ivf_pq_topk(
+            emb, 0, cents, books, k=10, n_probe=2, refine=50
+        ).collect()
+    ]
+    assert got == want
+
+    # merge of two same-codebook shards == the appended index
+    d_a, d_b, d_m = (str(tmp_path / x) for x in ("a", "b", "m"))
+    ann_index.write_ann_index(old, d_a, cents=cents, books=books)
+    ann_index.write_ann_index(new, d_b, cents=cents, books=books)
+    mstats = ann_index.merge_ann_indexes(spark, [d_a, d_b], d_m)
+    assert mstats["n_vectors"] == emb.count()
+    assert _vec_rows(spark, d_m) == _vec_rows(spark, d_inc)
+
+    # overlapping vec_ids: append and merge both refuse before writing
+    before = _vec_rows(spark, d_inc)
+    with pytest.raises(ValueError, match="vec_id"):
+        ann_index.append_ann_index(old.limit(5), d_inc)
+    assert _vec_rows(spark, d_inc) == before
+    with pytest.raises(ValueError, match="disjoint"):
+        ann_index.merge_ann_indexes(spark, [d_a, d_a], str(tmp_path / "m2"))
+
+    # codebook mismatch: retrained artifact cannot concat-merge
+    d_c = str(tmp_path / "c")
+    ann_index.write_ann_index(new, d_c, n_cells=8, n_iter=1, m=8, pq_k=16)
+    if json.loads(open(f"{d_c}/codebooks.json").read()) != books.tolist():
+        with pytest.raises(ValueError, match="codebooks differ"):
+            ann_index.merge_ann_indexes(spark, [d_a, d_c], str(tmp_path / "m3"))

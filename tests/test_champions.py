@@ -175,3 +175,56 @@ def test_write_index_emits_champions_and_query_identity(
         df_lookup=spark.read.parquet(f"{d}/dictionary"),
     ).collect()]
     assert got == want
+
+
+def test_stale_sidecar_degrades_to_no_pruning(spark, small_corpus, tmp_path):
+    """theta0 soundness requires champion rows to be postings of the
+    CURRENT segments. A sidecar whose fingerprint stamp doesn't match
+    (copied between indexes / segments rewritten without re-derive /
+    pre-stamp sidecar) must degrade to {} — theta0=0, exact results."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from searty_spark.champions import write_champions
+    from searty_spark.index import load_segments, load_stats, write_index
+
+    d1 = str(tmp_path / "idx1")
+    d2 = str(tmp_path / "idx2")
+    write_index(small_corpus, d1, n_shards=2, n_buckets=4)
+    write_index(small_corpus.limit(40), d2, n_shards=2, n_buckets=4)
+    for d in (d1, d2):
+        s = load_stats(d)
+        write_champions(
+            load_segments(spark, d), d, s["n_docs"], s["avgdl"], min_df=2,
+            max_terms=10**6,
+        )
+    assert ChampionClient(spark, d1).lookup(["sha", "har"])  # fresh: serves
+
+    # cross-copied sidecar: d2's champions under d1's segments
+    shutil.rmtree(Path(d1) / "champions")
+    shutil.copytree(Path(d2) / "champions", Path(d1) / "champions")
+    shutil.copy(Path(d2) / "champions_meta.json", Path(d1) / "champions_meta.json")
+    cc = ChampionClient(spark, d1)
+    assert cc.stale and cc.lookup(["sha", "har"]) == {}
+
+    # missing stamp (pre-format sidecar): unprovable -> degrade
+    (Path(d2) / "champions_meta.json").unlink()
+    cc = ChampionClient(spark, d2)
+    assert cc.stale and cc.lookup(["sha", "har"]) == {}
+
+    # corrupted stamp format -> degrade
+    write_champions(
+        load_segments(spark, d2), d2,
+        load_stats(d2)["n_docs"], load_stats(d2)["avgdl"], min_df=2,
+        max_terms=10**6,
+    )
+    meta = json.loads((Path(d2) / "champions_meta.json").read_text())
+    meta["format"] = 99
+    (Path(d2) / "champions_meta.json").write_text(json.dumps(meta))
+    cc = ChampionClient(spark, d2)
+    assert cc.stale and cc.lookup(["sha", "har"]) == {}
+    # verify=False opts out (trusted caller), sidecar serves again
+    meta["format"] = 1
+    (Path(d2) / "champions_meta.json").write_text(json.dumps(meta))
+    assert not ChampionClient(spark, d2).stale
