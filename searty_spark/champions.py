@@ -136,14 +136,12 @@ def build_champions(
     # decode pass over a third of the dictionary.
     if heads is None:
         heads = head_terms(segments, min_df, max_terms)
-    rows = segments.filter(F.col("term").isin(heads))
-    if n_buckets is not None and "bucket" in segments.columns:
-        from searty_spark.index import term_buckets
-
-        rows = rows.filter(
-            F.col("bucket").isin(term_buckets(segments.sparkSession, heads, n_buckets))
-        )
-    rows = rows.select(
+    # isin is a pushed filter (parquet row-group dictionary pruning).
+    # Deliberately NO bucket partition prune here, unlike wand_topk: a
+    # few-term query hits few buckets, but 100+ head terms hit
+    # essentially every bucket, so the prune would cost a driver-side
+    # hash job per build and skip nothing.
+    rows = segments.filter(F.col("term").isin(heads)).select(
         "term", "blob", "block_offset", "block_max_tf", "block_min_dl"
     )
 
@@ -245,10 +243,27 @@ def write_champions(
         segments, avgdl, budget=budget, min_df=min_df, max_terms=max_terms,
         heads=heads, n_buckets=n_buckets,
     )
-    ch.coalesce(4).write.mode("overwrite").parquet(str(out))
+    # The sidecar job is BOUNDED (<= max_terms*budget = 64k rows after
+    # the map-side cut) no matter the corpus size, so AQE's per-stage
+    # materialize-and-replan only adds latency here (measured ~2x the
+    # write wall at sf0.1) and its skew/coalesce help can never apply.
+    # Conf flips are session-wide: write_champions runs in the
+    # single-threaded build/merge orchestration, restored in finally.
+    conf = segments.sparkSession.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled")
+    prev_sp = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "8")
+        ch.coalesce(4).write.mode("overwrite").parquet(str(out))
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
     meta = {"format": CHAMPION_FORMAT, "fingerprint": segment_fingerprint(segments)}
     (Path(out_dir) / "champions_meta.json").write_text(json.dumps(meta))
-    return segments.sparkSession.read.parquet(str(out)).count()
+    # every head term has >= min_df postings, so each emits exactly one
+    # sidecar row — no read-back count job needed
+    return len(heads)
 
 
 def champion_theta(
