@@ -86,3 +86,13 @@ CHECKPOINT = T.StructType(
         T.StructField("lineage", T.StringType(), False),
     ]
 )
+
+# embedding rows for the ANN surface — the testdata
+# embeddings.parquet shape (vec_id, float vector, class label).
+EMBEDDINGS = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)

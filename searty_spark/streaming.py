@@ -214,3 +214,63 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_ann_stream(
+    spark: SparkSession,
+    emb_stream_dir: str,
+    index_dir: str,
+    n_cells: int = 32,
+    n_iter: int = 2,
+    sample: int = 4096,
+    m: int = 8,
+    pq_k: int = 16,
+) -> dict:
+    """Streaming ingestion for the ANN artifact — the embedding-side
+    twin of incremental_index_stream. The FIRST micro-batch bootstraps
+    the index (trains IVF centroids + PQ codebooks on a bounded sample
+    of that batch and writes it); every later batch encodes under the
+    now-FROZEN codebooks and appends its rows to the cell partitions
+    (ann_index.append_ann_index — exact, cost scales with the batch).
+    No compaction tier is needed, unlike the text index: an append IS
+    already the merged artifact (same-codebook merge is partition
+    concat, so there is nothing to re-encode later).
+
+    Freezing at the first batch is the standard streaming-ANN
+    trade-off: codebooks trained on an early sample can drift from the
+    eventual distribution, which degrades RECALL (probe/ADC quality),
+    never correctness of what a query returns for the stored codes —
+    when drift matters, retrain offline and rebuild (write_ann_index),
+    exactly like the reference's build-once topology. Batches must
+    carry disjoint vec_id ranges (append enforces this with a
+    fail-fast check). foreachBatch runs batches sequentially, so
+    bootstrap-then-append is race-free. Returns the final stats dict.
+    """
+    from pathlib import Path
+
+    from searty_spark.ann_index import append_ann_index, write_ann_index
+    from searty_spark.schema import EMBEDDINGS
+
+    def per_batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        if not Path(index_dir, "ann_stats.json").exists():
+            write_ann_index(
+                df, index_dir, n_cells=n_cells, n_iter=n_iter,
+                sample=sample, m=m, pq_k=pq_k,
+            )
+        else:
+            append_ann_index(df, index_dir)
+
+    q = (
+        spark.readStream.schema(EMBEDDINGS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_stream_dir)
+        .writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import json
+
+    return json.loads((Path(index_dir) / "ann_stats.json").read_text())

@@ -234,3 +234,57 @@ def test_media_dedup_plan_is_jvm_side(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("MapInPandas") == 1  # only the synthetic source
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_streaming_ann_ingest_equals_batch_encode(spark, tmp_path):
+    """incremental_ann_stream: first micro-batch bootstraps (trains +
+    writes), later batches append under the frozen codebooks — final
+    artifact row-identical to a one-shot encode of the full set with
+    the same codebooks, and the stored query path serves it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from searty_spark import ann, ann_index
+    from searty_spark.streaming import incremental_ann_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stream_dir = tmp_path / "estream"
+    stream_dir.mkdir()
+    for i, pred in enumerate(
+        [F.col("vec_id") % 3 == 0, F.col("vec_id") % 3 == 1, F.col("vec_id") % 3 == 2]
+    ):
+        d = stream_dir / f"f{i}"
+        emb.filter(pred).coalesce(1).write.parquet(str(d))
+        for f in d.glob("part-*.parquet"):
+            shutil.move(str(f), str(stream_dir / f"f{i}.parquet"))
+        shutil.rmtree(d)
+
+    idx = str(tmp_path / "annidx")
+    stats = incremental_ann_stream(spark, str(stream_dir), idx, n_cells=8)
+    assert stats["n_vectors"] == emb.count()
+
+    _, cents, books, _ = ann_index.load_ann_index(spark, idx)
+    full = str(tmp_path / "annfull")
+    ann_index.write_ann_index(emb, full, cents=cents, books=books)
+
+    def rows(d):
+        return {
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(f"{d}/vectors").collect()
+        }
+
+    assert rows(idx) == rows(full)
+    got = [
+        tuple(r)
+        for r in ann_index.ivf_pq_topk_indexed(
+            emb, idx, 0, k=10, n_probe=2, refine=50
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in ann.ivf_pq_topk(
+            emb, 0, cents, books, k=10, n_probe=2, refine=50
+        ).collect()
+    ]
+    assert got == want
