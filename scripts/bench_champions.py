@@ -89,19 +89,30 @@ def ensure_index(n_docs: int) -> str:
         print(f"grafted champions: {n} terms in {time.perf_counter() - t0:.1f}s",
               flush=True)
         spark.stop()
-    if not (Path(idx) / "champions_meta.json").exists():
-        # sidecar predates the fingerprint stamp (round 4) but is
-        # KNOWN-derived from these exact segments (this script built
-        # it); stamp it rather than rebuild 1M docs' champion skim
-        from searty_spark.champions import CHAMPION_FORMAT, segment_fingerprint
+    meta_p = Path(idx) / "champions_meta.json"
+    needs_stamp = not meta_p.exists() or "sidecar_fingerprint" not in json.loads(
+        meta_p.read_text()
+    )
+    if needs_stamp:
+        # sidecar predates the current stamp format but is KNOWN-derived
+        # from these exact segments (this script built it); stamp it
+        # rather than rebuild 1M docs' champion skim
+        from searty_spark.champions import (
+            CHAMPION_FORMAT,
+            segment_fingerprint,
+            sidecar_fingerprint,
+        )
         from searty_spark.index import load_segments
         from searty_spark.session import get_spark
 
         spark = get_spark(cpus=32, app_name="champ-stamp")
-        fp = segment_fingerprint(load_segments(spark, idx))
-        (Path(idx) / "champions_meta.json").write_text(
-            json.dumps({"format": CHAMPION_FORMAT, "fingerprint": fp})
-        )
+        meta_p.write_text(json.dumps({
+            "format": CHAMPION_FORMAT,
+            "fingerprint": segment_fingerprint(load_segments(spark, idx)),
+            "sidecar_fingerprint": sidecar_fingerprint(
+                spark.read.parquet(str(Path(idx) / "champions"))
+            ),
+        }))
         spark.stop()
     return idx
 

@@ -133,20 +133,34 @@ def append_ann_index(
     valid; retraining would require a full re-encode — that case is a
     rebuild, not an append.
 
-    ``check_disjoint`` guards vec_id uniqueness with one column-pruned
-    semi-join against the stored vec_id column before any write (the
-    same fail-before-write policy as merge_indexes' schema check). At
-    extreme scale the caller who guarantees unique ids upstream can
-    turn it off — the check is the only part of append whose cost
-    grows with the EXISTING corpus; the encode+write pass scales with
-    the new batch alone.
+    ``check_disjoint`` guards vec_id uniqueness both WITHIN the batch
+    (count vs distinct-count — batch-scaled) and against the store
+    (one column-pruned semi-join on the stored vec_id column), all
+    before any write (the same fail-before-write policy as
+    merge_indexes' schema check). At extreme scale the caller who
+    guarantees unique ids upstream can turn it off — the semi-join is
+    the only part of append whose cost grows with the EXISTING corpus;
+    everything else (encode, write, the n_vectors increment) scales
+    with the new batch alone.
 
     Reference shape: build-once/query-many + incremental merge,
     ref lib/indexer/merge.go:455-502 — re-expressed as a partitioned-
     table append instead of a posting-list rewrite."""
     spark = new_embeddings.sparkSession
     stats, cents, books, vectors = load_ann_index(spark, index_dir)
+    # count once up front: it doubles as the WITHIN-batch duplicate
+    # check (distinct vs total) and the n_vectors increment after the
+    # write — both scale with the batch, never the stored corpus
+    agg = new_embeddings.agg(
+        F.count("*").alias("n"), F.count_distinct("vec_id").alias("nd")
+    ).collect()[0]
+    n_new, n_distinct = int(agg["n"]), int(agg["nd"])
     if check_disjoint:
+        if n_distinct != n_new:
+            raise ValueError(
+                f"append batch contains duplicate vec_ids ({n_new} rows, "
+                f"{n_distinct} distinct); vec_ids must be unique"
+            )
         dup = (
             new_embeddings.select("vec_id")
             .join(vectors.select("vec_id"), "vec_id", "left_semi")
@@ -164,7 +178,7 @@ def append_ann_index(
     )
     out = Path(index_dir)
     rows.write.partitionBy("cell").mode("append").parquet(str(out / "vectors"))
-    stats["n_vectors"] = int(spark.read.parquet(str(out / "vectors")).count())
+    stats["n_vectors"] = int(stats["n_vectors"]) + n_new
     (out / "ann_stats.json").write_text(json.dumps(stats))
     return stats
 

@@ -64,8 +64,20 @@ def segment_fingerprint(segments: DataFrame) -> int:
     that changes postings changes some (term, shard, df, cf) row, which
     flips the sum. Summed in decimal(38,0) (ANSI long sum would
     overflow) and reduced mod 2^64 driver-side."""
-    row = segments.agg(
-        F.sum(F.xxhash64("term", "shard", "df", "cf").cast("decimal(38,0)")).alias("fp")
+    return _table_fingerprint(segments, ["term", "shard", "df", "cf"])
+
+
+def sidecar_fingerprint(champions: DataFrame) -> int:
+    """Content identity of the champions parquet itself — stamping the
+    segment fingerprint alone would pass a sidecar DIRECTORY copied in
+    from another index (the meta file describes the segments, not the
+    parquet next to it)."""
+    return _table_fingerprint(champions, ["term", "doc_ids", "tfs", "dls"])
+
+
+def _table_fingerprint(df: DataFrame, cols: list[str]) -> int:
+    row = df.agg(
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("fp")
     ).collect()[0]
     return int(row["fp"] or 0) % (1 << 64)
 
@@ -116,18 +128,16 @@ def build_champions(
     min_df: int = 1024,
     max_terms: int = 1024,
     heads: list[str] | None = None,
-    n_buckets: int | None = None,
 ) -> DataFrame:
     """segments -> (term, doc_ids, tfs, dls): each head term's top-
     ``budget`` postings by g_impact, arrays ordered (g DESC, doc_id).
 
     Plan: the head-term list (<= max_terms strings, bounded) becomes a
-    pushed isin filter on the segment scan — with ``n_buckets`` also a
-    bucket partition prune, the same selective-read shape as
-    wand_topk. Each (shard, term) row decodes ONCE and emits only its
-    local top-B rows (map-side reduction BEFORE the shuffle — blobs
-    never move); one groupBy(term) applyInPandas cuts the global top-B
-    and assembles the arrays."""
+    pushed isin filter on the segment scan. Each (shard, term) row
+    decodes ONCE and emits only its local top-B rows (map-side
+    reduction BEFORE the shuffle — blobs never move); one
+    groupBy(term) applyInPandas cuts the global top-B and assembles
+    the arrays."""
     # min_df floors the candidates; max_terms CAPS the build cost and
     # sidecar size deterministically (df_global DESC, term tiebreak):
     # theta seeding only ever needs the hottest terms — a corpus whose
@@ -225,15 +235,18 @@ def write_champions(
     min_df: int | None = None,
     max_terms: int = 1024,
     dictionary: DataFrame | None = None,
-    n_buckets: int | None = None,
 ) -> int:
     """Build + persist the sidecar; returns the number of championed
     terms. ``min_df=None`` -> default_min_df(n_docs). Pass the
     persisted ``dictionary`` when one exists (write_index does): head
     selection then reads the tiny (term, df_global) table instead of
     re-aggregating the segment rows. Writes champions_meta.json with
-    the segment fingerprint so ChampionClient can detect a stale
-    sidecar and degrade to theta0=0."""
+    TWO stamps: the segment fingerprint (are these still the segments
+    the sidecar was derived from?) and a sidecar content hash (is this
+    parquet the one that was stamped?) — ChampionClient requires both
+    to match and degrades to theta0=0 otherwise, so neither a
+    segments rewrite nor a sidecar dir copied in from another index
+    can make pruning unsound."""
     if min_df is None:
         min_df = default_min_df(n_docs)
     out = Path(out_dir) / "champions"
@@ -241,7 +254,7 @@ def write_champions(
                        min_df, max_terms)
     ch = build_champions(
         segments, avgdl, budget=budget, min_df=min_df, max_terms=max_terms,
-        heads=heads, n_buckets=n_buckets,
+        heads=heads,
     )
     # The sidecar job is BOUNDED (<= max_terms*budget = 64k rows after
     # the map-side cut) no matter the corpus size, so AQE's per-stage
@@ -259,7 +272,13 @@ def write_champions(
     finally:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         conf.set("spark.sql.shuffle.partitions", prev_sp)
-    meta = {"format": CHAMPION_FORMAT, "fingerprint": segment_fingerprint(segments)}
+    meta = {
+        "format": CHAMPION_FORMAT,
+        "fingerprint": segment_fingerprint(segments),
+        "sidecar_fingerprint": sidecar_fingerprint(
+            segments.sparkSession.read.parquet(str(out))
+        ),
+    }
     (Path(out_dir) / "champions_meta.json").write_text(json.dumps(meta))
     # every head term has >= min_df postings, so each emits exactly one
     # sidecar row — no read-back count job needed
@@ -320,12 +339,13 @@ def _sidecar_state_key(index_dir: str) -> tuple:
     for p in ("champions_meta.json", "stats.json"):
         f = d / p
         keys.append(f.stat().st_mtime_ns if f.exists() else -1)
-    mx = -1
-    seg = d / "segments"
-    if seg.exists():
-        for root, _dirs, _files in os.walk(seg):
-            mx = max(mx, os.stat(root).st_mtime_ns)
-    keys.append(mx)
+    for sub in ("segments", "champions"):
+        mx = -1
+        p = d / sub
+        if p.exists():
+            for root, _dirs, _files in os.walk(p):
+                mx = max(mx, os.stat(root).st_mtime_ns)
+        keys.append(mx)
     return (str(d), *keys)
 
 
@@ -363,9 +383,13 @@ class ChampionClient:
                     meta = json.loads(meta_p.read_text())
                     from searty_spark.index import load_segments
 
-                    ok = meta.get("format") == CHAMPION_FORMAT and meta.get(
-                        "fingerprint"
-                    ) == segment_fingerprint(load_segments(spark, index_dir))
+                    ok = (
+                        meta.get("format") == CHAMPION_FORMAT
+                        and meta.get("fingerprint")
+                        == segment_fingerprint(load_segments(spark, index_dir))
+                        and meta.get("sidecar_fingerprint")
+                        == sidecar_fingerprint(self._df)
+                    )
                     _VERIFY_CACHE[key] = ok
                 if not ok:
                     self._df, self.stale = None, True

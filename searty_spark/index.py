@@ -362,7 +362,6 @@ def write_index(
         n_ch = write_champions(
             load_segments(spark, out_dir), out_dir, stats["n_docs"], stats["avgdl"],
             dictionary=spark.read.parquet(str(out / "dictionary")),
-            n_buckets=n_buckets,
         )
         _commit(out_dir, "champions", wall_sec=time.perf_counter() - t0, rows=n_ch)
     return {"stats": stats, "units": metrics}
@@ -441,7 +440,7 @@ def upgrade_index(spark: SparkSession, old_dir: str, out_dir: str) -> dict:
     (out / "stats.json").write_text(json.dumps(new_stats))
 
     # sidecars that don't depend on the segment layout: copy through
-    for name in ("docstats", "symbols", "packages",
+    for name in ("docstats", "documents", "symbols", "packages",
                  "symbol_definitions", "package_definitions"):
         if (old / name).exists() and not (out / name).exists():
             shutil.copytree(old / name, out / name)
@@ -460,7 +459,6 @@ def upgrade_index(spark: SparkSession, old_dir: str, out_dir: str) -> dict:
         load_segments(spark, str(out)), str(out),
         new_stats["n_docs"], new_stats["avgdl"],
         dictionary=spark.read.parquet(str(out / "dictionary")),
-        n_buckets=new_stats["n_buckets"],
     )
     return new_stats
 

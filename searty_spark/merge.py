@@ -223,7 +223,6 @@ def merge_indexes(
         write_champions(
             load_segments(spark, out_dir), out_dir, n_docs, avgdl,
             dictionary=spark.read.parquet(str(out / "dictionary")),
-            n_buckets=n_buckets,
         )
 
     # --- symbol/package metadata (ref merge.go:240-309, M4) -------------
@@ -340,7 +339,6 @@ def _merge_dedup(
         write_champions(
             load_segments(spark, out_dir), out_dir, n_docs, avgdl,
             dictionary=spark.read.parquet(str(out / "dictionary")),
-            n_buckets=n_buckets,
         )
 
     # sidecar: definitions are doc-keyed facts -> drop losers' rows;

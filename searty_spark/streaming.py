@@ -225,6 +225,7 @@ def incremental_ann_stream(
     sample: int = 4096,
     m: int = 8,
     pq_k: int = 16,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Streaming ingestion for the ANN artifact — the embedding-side
     twin of incremental_index_stream. The FIRST micro-batch bootstraps
@@ -245,6 +246,12 @@ def incremental_ann_stream(
     carry disjoint vec_id ranges (append enforces this with a
     fail-fast check). foreachBatch runs batches sequentially, so
     bootstrap-then-append is race-free. Returns the final stats dict.
+
+    The stream checkpoints to ``<index_dir>.stream_ckpt`` (override
+    with ``checkpoint_dir``): a LATER invocation over the same source
+    dir resumes from the file-source log and ingests only files that
+    arrived since — without it, every re-run would replay file 0 and
+    die on append's duplicate-vec_id check.
     """
     from pathlib import Path
 
@@ -267,6 +274,7 @@ def incremental_ann_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(emb_stream_dir)
         .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir or f"{index_dir}.stream_ckpt")
         .trigger(availableNow=True)
         .start()
     )

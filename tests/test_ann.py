@@ -251,6 +251,13 @@ def test_ann_append_equals_rebuild_and_merge(emb, tmp_path):
     with pytest.raises(ValueError, match="vec_id"):
         ann_index.append_ann_index(old.limit(5), d_inc)
     assert _vec_rows(spark, d_inc) == before
+    # duplicates WITHIN the incoming batch are refused too
+    fresh = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 50_000
+    )
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        ann_index.append_ann_index(fresh.unionByName(fresh), d_inc)
+    assert _vec_rows(spark, d_inc) == before
     with pytest.raises(ValueError, match="disjoint"):
         ann_index.merge_ann_indexes(spark, [d_a, d_a], str(tmp_path / "m2"))
 

@@ -208,6 +208,20 @@ def test_stale_sidecar_degrades_to_no_pruning(spark, small_corpus, tmp_path):
     cc = ChampionClient(spark, d1)
     assert cc.stale and cc.lookup(["sha", "har"]) == {}
 
+    # sidecar DIR copied without its meta (partial restore): d1's own
+    # meta still matches d1's segments, but the parquet is d2's — the
+    # sidecar content hash must catch it
+    s1 = load_stats(d1)
+    write_champions(
+        load_segments(spark, d1), d1, s1["n_docs"], s1["avgdl"], min_df=2,
+        max_terms=10**6,
+    )
+    assert not ChampionClient(spark, d1).stale  # freshly stamped: serves
+    shutil.rmtree(Path(d1) / "champions")
+    shutil.copytree(Path(d2) / "champions", Path(d1) / "champions")  # meta kept
+    cc = ChampionClient(spark, d1)
+    assert cc.stale and cc.lookup(["sha", "har"]) == {}
+
     # missing stamp (pre-format sidecar): unprovable -> degrade
     (Path(d2) / "champions_meta.json").unlink()
     cc = ChampionClient(spark, d2)

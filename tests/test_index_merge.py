@@ -271,7 +271,10 @@ def test_upgrade_format1_index(spark, corpus, tmp_path_factory):
 
     base = tmp_path_factory.mktemp("idx_upgrade")
     fresh_dir, old_dir, up_dir = (str(base / x) for x in ("fresh", "old", "up"))
-    write_index(corpus, fresh_dir, n_shards=2, n_buckets=4)
+    # store_docs: format 1 had the documents table too, and for the
+    # upgrade's stated use (the source corpus is gone) the stored copy
+    # is the ONLY copy — it must ride through
+    write_index(corpus, fresh_dir, n_shards=2, n_buckets=4, store_docs=True)
 
     # fabricate the format-1 on-disk shape
     seg = load_segments(spark, fresh_dir)
@@ -291,6 +294,7 @@ def test_upgrade_format1_index(spark, corpus, tmp_path_factory):
         k: st[k] for k in ("n_docs", "sum_dl", "avgdl", "n_shards", "n_buckets")
     }))
     shutil.copytree(Path(fresh_dir) / "docstats", Path(old_dir) / "docstats")
+    shutil.copytree(Path(fresh_dir) / "documents", Path(old_dir) / "documents")
 
     # fail-fast still guards the normal read path
     with pytest.raises(ValueError, match="format 1"):
@@ -311,6 +315,14 @@ def test_upgrade_format1_index(spark, corpus, tmp_path_factory):
     assert (Path(up_dir) / "champions_meta.json").read_text() == (
         Path(fresh_dir) / "champions_meta.json"
     ).read_text()
+    # stored documents survive the upgrade (sorted rows equal)
+    got_docs = sorted(
+        map(tuple, spark.read.parquet(up_dir + "/documents").collect())
+    )
+    want_docs = sorted(
+        map(tuple, spark.read.parquet(fresh_dir + "/documents").collect())
+    )
+    assert got_docs == want_docs
     for q in ["the", "shared phrase"]:
         got = [tuple(r) for r in query_index(spark, up_dir, q, k=10).collect()]
         want = [tuple(r) for r in query_index(spark, fresh_dir, q, k=10).collect()]

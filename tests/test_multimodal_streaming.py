@@ -288,3 +288,24 @@ def test_streaming_ann_ingest_equals_batch_encode(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+    # cross-run resume: a LATER invocation over the same source dir
+    # (new file arrived) must ingest ONLY the new file via the stream
+    # checkpoint — not replay file 0 into a duplicate-vec_id crash
+    extra = spark.createDataFrame(
+        [(10_000 + i, [float(i % 7)] * 64, 0) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = tmp_path / "f3_dir"
+    extra.coalesce(1).write.parquet(str(d))
+    for f in d.glob("part-*.parquet"):
+        shutil.move(str(f), str(stream_dir / "f3.parquet"))
+    shutil.rmtree(d)
+    stats2 = incremental_ann_stream(spark, str(stream_dir), idx, n_cells=8)
+    assert stats2["n_vectors"] == emb.count() + 20
+    assert rows(idx) - rows(full) == {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{idx}/vectors")
+        .filter(F.col("vec_id") >= 10_000)
+        .collect()
+    }
