@@ -417,6 +417,41 @@ def q_quality_score(spark, sf):
     return textops.quality_score(_docs(spark, sf))
 
 
+def _pii_docs(spark, sf):
+    """documents with a deterministic machine-formatted PII suffix
+    appended (email / URL / IPv4 / phone derived from doc_id) — the
+    synthetic corpus carries no PII, so the redaction gate builds the
+    SAME augmented text in both engines and scrubs it."""
+    d = _docs(spark, sf)
+    did = F.col("doc_id").cast("string")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"), did, F.lit("@ex.com see https://ex"), did,
+            F.lit(".com/a ip 10.1.2."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +12 3456-78"), (F.col("doc_id") % 90).cast("string"),
+        ),
+    )
+
+
+def q_redact_pii(spark, sf):
+    """Training-data PII scrub: URLs/emails/IPv4s/phones replaced by
+    typed placeholders, match count emitted; one JVM regexp projection
+    (oracle replays the identical pattern list in the identical
+    order — patterns are RE2-and-Java-compatible by construction)."""
+    return textops.redact_pii(_pii_docs(spark, sf))
+
+
+def q_ngram_contamination(spark, sf):
+    """Benchmark decontamination (GPT-3/Dolma shape): flag training
+    docs sharing any word 5-gram with the benchmark set (deterministic
+    stand-in: docs with doc_id % 97 == 0). Broadcast benchmark grams,
+    one explode + uniform doc_id agg."""
+    d = _docs(spark, sf)
+    return textops.ngram_contamination(d, d.filter(F.col("doc_id") % 97 == 0), n=5)
+
+
 def q_quality_gopher(spark, sf):
     """Gopher/CCNet doc-length-conditioned quality dimensions + the
     composite pass flag; every threshold compares the ROUNDED ratio so
@@ -705,9 +740,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers the first 50 entries, so new round work and the
     hardest-to-hold invariants (streaming twins, stored-ANN artifact
     paths, segment kernels) sit inside it; the tail past 50 holds only
-    trivial single-expression gates green since round 1 (plain SQL
-    projections/aggregations with no moving parts)."""
+    simple single-statement gates green since round 1 (round 5 moved
+    revenue_by_nation / customers_without_orders — one broadcast
+    join+agg and one anti-join — past the window to admit the two new
+    pipeline gates; the displacement is documented in
+    BENCH/BASELINE.md's gate census and the full 62 stay covered by
+    scripts/check_correctness.py)."""
     return {
+        # --- round-5 additions ---
+        "redact_pii": q_redact_pii,
+        "ngram_contamination": q_ngram_contamination,
         # --- round-4 additions ---
         "pq_topk_stored": q_pq_topk_stored,
         "ivf_pq_topk_stored": q_ivf_pq_topk_stored,
@@ -1257,8 +1299,65 @@ FROM y GROUP BY doc_id, island
 """
 
 
+_PII_TEXT_SQL = (
+    "text || ' mail user' || doc_id || '@ex.com see https://ex' || doc_id"
+    " || '.com/a ip 10.1.2.' || (doc_id % 250) || ' call +12 3456-78'"
+    " || (doc_id % 90)"
+)
+
+
+def _redact_pii_sql() -> str:
+    """DuckDB twin of textops.redact_pii over the same augmented text:
+    the patterns are taken from textops.PII_PATTERNS verbatim (they are
+    RE2-and-Java-compatible by construction), counts on the ORIGINAL
+    text per pattern, replacements applied in the same order with the
+    'g' flag (Spark replaces globally by default)."""
+    from searty_spark.textops import PII_PATTERNS
+
+    def lit(pat):
+        return "'" + pat.replace("'", "''") + "'"
+
+    clean = "t"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, {lit(pat)}, '{repl}', 'g')"
+    count = " + ".join(
+        f"len(regexp_extract_all(t, {lit(pat)}))" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+SELECT doc_id, {clean} AS clean_text, cast({count} AS bigint) AS n_redactions
+FROM p ORDER BY doc_id
+"""
+
+
+def _ngram_contamination_sql(n: int = 5, bench_mod: int = 97) -> str:
+    """DuckDB twin of textops.ngram_contamination with the benchmark
+    stand-in doc_id % bench_mod == 0: word n-grams via a per-row index
+    unnest + list_slice (1-based inclusive, same as Spark's slice)."""
+    return f"""
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - {n} + 1, 0) + 1)) AS i
+        FROM t0),
+dg AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS gram
+       FROM idx),
+bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % {bench_mod} = 0),
+cnt AS (SELECT doc_id, count(*) AS n_ngrams FROM dg GROUP BY 1),
+hit AS (SELECT dg.doc_id, count(*) AS n_contaminated FROM dg JOIN bg USING (gram)
+        GROUP BY 1)
+SELECT d.doc_id,
+       cast(coalesce(cnt.n_ngrams, 0) AS bigint) AS n_ngrams,
+       cast(coalesce(hit.n_contaminated, 0) AS bigint) AS n_contaminated,
+       coalesce(hit.n_contaminated, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN cnt USING (doc_id) LEFT JOIN hit USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
+        "redact_pii": _redact_pii_sql(),
+        "ngram_contamination": _ngram_contamination_sql(),
         "term_stats": f"""
 WITH tok AS ({_TOK}), p AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf FROM p GROUP BY term

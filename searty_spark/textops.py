@@ -270,3 +270,96 @@ def top_terms_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
         .select("doc_id", "term", F.col("rnk").cast("int").alias("rnk"), "tfidf")
         .orderBy("doc_id", "rnk")
     )
+
+
+# PII patterns shared verbatim with the DuckDB oracle: plain character
+# classes only (no lookaround), valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB). Applied in this exact order — URL before email matters
+# (a URL can embed an @), and both engines replace globally.
+PII_PATTERNS = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_redactions) — the standard training-data
+    scrubbing pass: URLs, emails, IPv4s and international-format phone
+    numbers replaced by typed placeholders. Pure JVM regexp_replace
+    (one codegen'd projection, no shuffle, no Python); n_redactions
+    counts matches BEFORE replacement so the number is independent of
+    substitution order effects within a pattern.
+
+    This is deliberately pattern-based, not NER: at 10^12 docs the
+    regex pass is free inside the existing scan, and the common PII
+    classes in web text are exactly these machine-formatted strings.
+    """
+    t = F.col(text_col)
+    n_red = F.lit(0)
+    for _, pat, _ in PII_PATTERNS:
+        n_red = n_red + F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+    clean = t
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_red.cast("long").alias("n_redactions"),
+    ).orderBy("doc_id")
+
+
+def ngram_contamination(
+    docs: DataFrame, bench: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_ngrams, n_contaminated, contaminated) — benchmark
+    decontamination, the GPT-3/Dolma-style check: a training document
+    is contaminated when any of its word n-grams also occurs in the
+    evaluation-benchmark text set. ``bench`` is a DataFrame with a
+    ``text`` column (the benchmark corpus).
+
+    Plan: the benchmark's distinct n-grams are a SMALL set by
+    construction (benchmarks are thousands of docs, the corpus is
+    billions) — broadcast it; each training doc explodes to its
+    n-grams once, inner-joins the broadcast set, and aggregates
+    matches per doc_id. One explode + one broadcast join + one
+    uniform doc_id-keyed agg; the corpus is never shuffled on anything
+    but doc_id. Docs shorter than ``n`` words have n_ngrams = 0 and
+    are never contaminated."""
+    def grams(df):
+        w = words_col(text_col)
+        # sequence(1, 0) would generate DESCENDING [1, 0], not empty —
+        # docs shorter than n words must produce an empty index array
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+            ).alias("gram"),
+        )
+
+    bench_grams = grams(bench.select(F.col("doc_id"), F.col(text_col))).select(
+        "gram"
+    ).distinct()
+    doc_grams = grams(docs)
+    counts = doc_grams.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

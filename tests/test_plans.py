@@ -167,3 +167,30 @@ def test_wand_query_never_reads_or_shuffles_positions(spark, disk_index):
     assert "pos_blob" not in plan, plan
     plan2 = _plan(docs_with_all_terms_segments(seg, ["sha", "har"], n_shards=2))
     assert "pos_blob" not in plan2, plan2
+
+
+def test_redact_pii_is_one_projection_no_shuffle(spark, small_corpus):
+    """The PII scrub must stay a codegen'd projection over the scan —
+    no Exchange, no Python."""
+    from searty_spark.textops import redact_pii
+
+    plan = _plan(redact_pii(small_corpus))
+    # the only allowed Exchange is the rangepartitioning of the output
+    # orderBy — the scrub itself must not hash-shuffle or hit Python
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1 + plan.count("rangepartitioning"), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark, small_corpus):
+    """The benchmark gram set (small by construction) must be the
+    broadcast side; the corpus grams must never cartesian."""
+    from pyspark.sql import functions as F
+
+    from searty_spark.textops import ngram_contamination
+
+    bench = small_corpus.filter(F.col("doc_id") % 13 == 0)
+    plan = _plan(ngram_contamination(small_corpus, bench, n=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
