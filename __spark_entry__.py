@@ -452,6 +452,17 @@ def q_ngram_contamination(spark, sf):
     return textops.ngram_contamination(d, d.filter(F.col("doc_id") % 97 == 0), n=5)
 
 
+def q_prepare_training_corpus(spark, sf):
+    """The full preparation composite (pipeline.prepare_training_corpus):
+    gopher gate -> benchmark decontamination -> PII redaction -> exact
+    dedup on the redacted text, over the deterministically PII-augmented
+    corpus. Stage order is the contract; the oracle replays it."""
+    from searty_spark.pipeline import prepare_training_corpus
+
+    d = _pii_docs(spark, sf)
+    return prepare_training_corpus(d, bench=d.filter(F.col("doc_id") % 97 == 0))
+
+
 def q_quality_gopher(spark, sf):
     """Gopher/CCNet doc-length-conditioned quality dimensions + the
     composite pass flag; every threshold compares the ROUNDED ratio so
@@ -741,13 +752,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hardest-to-hold invariants (streaming twins, stored-ANN artifact
     paths, segment kernels) sit inside it; the tail past 50 holds only
     simple single-statement gates green since round 1 (round 5 moved
-    revenue_by_nation / customers_without_orders — one broadcast
-    join+agg and one anti-join — past the window to admit the two new
-    pipeline gates; the displacement is documented in
-    BENCH/BASELINE.md's gate census and the full 62 stay covered by
-    scripts/check_correctness.py)."""
+    revenue_by_nation / customers_without_orders / package_defs —
+    a broadcast join+agg, an anti-join, and a broadcast metadata
+    lookup — past the window to admit the three new pipeline gates;
+    the displacement is documented in BENCH/BASELINE.md's gate census
+    and the full 63 stay covered by scripts/check_correctness.py)."""
     return {
         # --- round-5 additions ---
+        "prepare_training_corpus": q_prepare_training_corpus,
         "redact_pii": q_redact_pii,
         "ngram_contamination": q_ngram_contamination,
         # --- round-4 additions ---
@@ -1214,8 +1226,9 @@ def _ivf_pq_sql(
     return "WITH " + ivf_ctes + ",\n" + probed + ",\n" + pq_ctes_and_final
 
 
-_GOPHER_Q_CTES = """
-t0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+def _gopher_q_ctes(src: str = "documents") -> str:
+    return f"""
+t0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM {src}),
 wcount AS (SELECT doc_id, wrd, count(*) AS c
            FROM (SELECT doc_id, unnest(toks) AS wrd FROM t0) u GROUP BY 1, 2),
 tw AS (SELECT doc_id, max(c) AS top_c FROM wcount GROUP BY 1),
@@ -1228,6 +1241,9 @@ qm AS (SELECT t0.doc_id, t0.text, t0.toks,
               round(tw.top_c / len(t0.toks), 6) AS top_word_ratio
        FROM t0 JOIN tw USING (doc_id))
 """
+
+
+_GOPHER_Q_CTES = _gopher_q_ctes()
 
 _GOPHER_PASS_PRED = (
     "n_words BETWEEN 16 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0 "
@@ -1354,8 +1370,51 @@ ORDER BY doc_id
 """
 
 
+def _prepare_training_sql(n: int = 5, bench_mod: int = 97) -> str:
+    """DuckDB twin of pipeline.prepare_training_corpus over the
+    augmented-PII corpus: gopher gate -> decontaminate (benchmark =
+    doc_id %% bench_mod of the FULL augmented corpus, pre-gopher, as
+    the Spark gate passes it) -> redact -> exact dedup on the redacted
+    text, keep-lowest-doc_id. Stage order is the contract."""
+    from searty_spark.textops import PII_PATTERNS
+
+    def lit(pat):
+        return "'" + pat.replace("'", "''") + "'"
+
+    clean = "t"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, {lit(pat)}, '{repl}', 'g')"
+    count = " + ".join(
+        f"len(regexp_extract_all(t, {lit(pat)}))" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents),
+{_gopher_q_ctes('base').strip().rstrip(',')},
+q AS (SELECT doc_id, text, toks FROM qm WHERE {_GOPHER_PASS_PRED}),
+idx AS (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - {n} + 1, 0) + 1)) AS i FROM q),
+dg AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS gram
+       FROM idx),
+bt0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base
+        WHERE doc_id % {bench_mod} = 0),
+bidx AS (SELECT toks, unnest(range(1, greatest(len(toks) - {n} + 1, 0) + 1)) AS i
+         FROM bt0),
+bg AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS gram
+       FROM bidx),
+contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram)),
+surv AS (SELECT doc_id, text AS t FROM q
+         WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+red AS (SELECT doc_id, {clean} AS clean_text,
+               cast({count} AS bigint) AS n_redactions FROM surv),
+dd AS (SELECT red.*, row_number() OVER (PARTITION BY md5(clean_text)
+                                        ORDER BY doc_id) AS rn FROM red)
+SELECT doc_id, clean_text, n_redactions FROM dd WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
+        "prepare_training_corpus": _prepare_training_sql(),
         "redact_pii": _redact_pii_sql(),
         "ngram_contamination": _ngram_contamination_sql(),
         "term_stats": f"""

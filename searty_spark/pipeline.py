@@ -115,3 +115,56 @@ def sample_stratified(
         .select("doc_id", stratum_col)
         .orderBy("doc_id")
     )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    n_contam: int = 5,
+    min_tokens: int = 16,
+) -> DataFrame:
+    """(doc_id, clean_text, n_redactions) — the full Dolma/CCNet-style
+    preparation composite over the gated primitives, in the order a
+    production pipeline runs them:
+
+    1. quality gate      — textops.quality_gopher (doc-length-
+                           conditioned rules incl. the stop-word
+                           floor), on the ORIGINAL text;
+    2. decontamination   — drop survivors sharing any word
+                           ``n_contam``-gram with ``bench`` (the
+                           evaluation set), on the ORIGINAL text
+                           (contamination predates any rewriting);
+    3. PII redaction     — textops.redact_pii on the survivors;
+    4. exact dedup       — keep the lowest doc_id per identical
+                           REDACTED text (redaction canonicalizes
+                           machine-formatted variation first, so two
+                           docs differing only in scrubbed tokens
+                           collapse — the reason this stage follows 3).
+
+    Stage order is part of the contract; the DuckDB oracle replays it
+    verbatim. Every stage is one shuffle (or a broadcast join) over
+    progressively smaller data."""
+    from pyspark.sql import Window
+
+    from searty_spark.textops import ngram_contamination, quality_gopher, redact_pii
+
+    keep = (
+        quality_gopher(docs, min_words=min_tokens)
+        .filter(F.col("gopher_pass"))
+        .select("doc_id")
+    )
+    kept = docs.join(keep, "doc_id", "left_semi")
+    if bench is not None:
+        clean_ids = ngram_contamination(kept, bench, n=n_contam).filter(
+            ~F.col("contaminated")
+        ).select("doc_id")
+        kept = kept.join(clean_ids, "doc_id", "left_semi")
+    red = redact_pii(kept)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        red.withColumn("fp", F.md5("clean_text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "clean_text", "n_redactions")
+        .orderBy("doc_id")
+    )
