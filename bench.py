@@ -236,6 +236,17 @@ def main():
     results["minhash_dedup"] = round(t, 4)
     extra["minhash_pairs"] = n_pairs
 
+    # full preparation composite (gopher -> decontaminate -> redact ->
+    # dedup), the r5 pipeline headline — benchmarked on the same
+    # augmented corpus the gate uses
+    import __spark_entry__ as _entry2
+
+    t, n_surv = timed(
+        lambda: _entry2.queries()["prepare_training_corpus"](spark, sf_dir).count()
+    )
+    extra["prepare_corpus"] = round(t, 4)
+    extra["prepare_corpus_survivors"] = n_surv
+
     t, _ = timed(lambda: ann.cosine_topk(emb, 0, k=10).collect())
     results["ann_topk"] = round(t, 4)
 

@@ -19,6 +19,7 @@ import argparse
 import json
 import sys
 import time  # noqa: F401 — used by several subcommands
+from pathlib import Path
 
 
 def _corpus(spark, spec: str):
@@ -49,6 +50,89 @@ def cmd_build(args) -> None:
         analyzer=args.analyzer,
     )
     print(json.dumps({"wall_sec": time.perf_counter() - t0, **m["stats"]}))
+
+
+def cmd_serve(args) -> None:
+    """Warm query server over stdin: one request per line, one JSON
+    result line per request (flushed) — the deployment shape the
+    reference's per-invocation CLI cannot offer, and the reason a
+    long-lived SparkSession pays off: the segments are cached
+    shard-partitioned once, every query is the no-exchange
+    pre_partitioned path with champion-seeded pruning.
+
+    Request syntax: a plain line is a BM25 top-k; `:phrase <q>` ranks
+    a positional phrase; `:regex <pat>` needs a --store-docs index;
+    `:quit` exits. Responses:
+    {"query":..., "mode":..., "results":[[doc_id, score]...],
+     "wall_sec":...} or {"error": ...}."""
+    from searty_spark.champions import champion_theta
+    from searty_spark.phrase_seg import phrase_bm25_topk_segments
+    from searty_spark.session import get_spark
+    from searty_spark.tokenize import tokenize
+    from searty_spark.wand import wand_topk
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-serve")
+    stats, seg, dic, champs = _warm_server(spark, args.index)
+    docs = None
+    docs_path = Path(args.index) / "documents"
+    if docs_path.exists():
+        docs = spark.read.parquet(str(docs_path)).cache()
+        docs.count()
+    print(json.dumps({"ready": True, "n_docs": stats["n_docs"],
+                      "index": args.index}), flush=True)
+
+    for line in sys.stdin:
+        q = line.strip()
+        if not q:
+            continue
+        if q == ":quit":
+            break
+        mode, arg = "bm25", q
+        if q.startswith(":"):
+            head, _, rest = q.partition(" ")
+            mode, arg = head[1:], rest
+        t0 = time.perf_counter()
+        try:
+            if mode == "bm25":
+                terms = sorted(set(tokenize(arg)))
+                dfl = dic.lookup(terms)
+                rows = wand_topk(
+                    seg, None, arg, k=args.k,
+                    n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+                    n_shards=stats["n_shards"], df_lookup=dfl,
+                    theta0=champion_theta(
+                        champs.lookup(terms), dfl, args.k,
+                        stats["n_docs"], stats["avgdl"],
+                    ),
+                    pre_partitioned=True,
+                ).collect()
+                res = [[r["doc_id"], r["score"]] for r in rows]
+            elif mode == "phrase":
+                rows = phrase_bm25_topk_segments(
+                    seg, arg, k=args.k,
+                    n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+                    n_shards=stats["n_shards"],
+                    df_lookup=dic.lookup(sorted(set(tokenize(arg)))),
+                    pre_partitioned=True,
+                ).collect()
+                res = [[r["doc_id"], r["score"]] for r in rows]
+            elif mode == "regex":
+                if docs is None:
+                    raise ValueError(":regex needs a --store-docs index")
+                from searty_spark.query import regex_search_segments
+
+                rows = regex_search_segments(
+                    docs, seg, arg, n_shards=stats["n_shards"]
+                ).collect()
+                res = [[r["doc_id"]] for r in rows]
+            else:
+                raise ValueError(f"unknown mode {mode!r} (bm25|phrase|regex)")
+            print(json.dumps({
+                "query": arg, "mode": mode, "results": res,
+                "wall_sec": round(time.perf_counter() - t0, 4),
+            }), flush=True)
+        except ValueError as err:
+            print(json.dumps({"query": arg, "error": str(err)}), flush=True)
 
 
 def cmd_upgrade(args) -> None:
@@ -224,6 +308,31 @@ def cmd_describe(args) -> None:
         print(f"term={r['term']!r} df={r['df']}")
 
 
+def _warm_server(spark, index_dir: str, full_driver_dict: bool = False):
+    """The query-server warm state shared by bench-queries and serve:
+    shard-partitioned cached segments (the pre_partitioned fast path's
+    contract), bounded term->df client, champion client. Startup is
+    O(1) in vocabulary size unless full_driver_dict."""
+    from searty_spark.champions import ChampionClient
+    from searty_spark.index import load_segments, load_stats
+    from searty_spark.wand import TermDfClient
+
+    stats = load_stats(index_dir)
+    seg = (
+        load_segments(spark, index_dir)
+        .repartition(stats["n_shards"], "shard")
+        .cache()
+    )
+    seg.count()
+    dic = TermDfClient(spark, index_dir)
+    if full_driver_dict:
+        dic._cache = {
+            r["term"]: int(r["df_global"]) for r in dic._df.collect()
+        }
+    champs = ChampionClient(spark, index_dir)
+    return stats, seg, dic, champs
+
+
 def cmd_bench_queries(args) -> None:
     """Repeated warmed top-k queries -> one JSON line of latencies.
 
@@ -232,31 +341,15 @@ def cmd_bench_queries(args) -> None:
     hot-term cache) — never a full-dictionary collect, so the server
     starts in O(1) regardless of vocabulary size. --full-driver-dict
     restores the old load-everything behavior for small indexes."""
-    from searty_spark.index import load_segments, load_stats
+    from searty_spark.champions import champion_theta
     from searty_spark.session import get_spark
     from searty_spark.tokenize import tokenize
-    from searty_spark.wand import TermDfClient, wand_topk
+    from searty_spark.wand import wand_topk
 
     spark = get_spark(cpus=args.cpus, app_name="searty-bench-queries")
-    stats = load_stats(args.index)
-    seg = (
-        load_segments(spark, args.index)
-        .repartition(stats["n_shards"], "shard")
-        .cache()
+    stats, seg, dic, champs = _warm_server(
+        spark, args.index, full_driver_dict=args.full_driver_dict
     )
-    seg.count()
-    if args.full_driver_dict:
-        dic = TermDfClient(spark, args.index)
-        dic._cache = {
-            r["term"]: int(r["df_global"]) for r in dic._df.collect()
-        }
-    else:
-        dic = TermDfClient(spark, args.index)
-    # champion-seeded theta for the BM25 paths (bounded fetch + cache,
-    # same shape as the df client; zero per-query jobs once warm)
-    from searty_spark.champions import ChampionClient, champion_theta
-
-    champs = ChampionClient(spark, args.index)
 
     docs = None
     if args.mode == "regex":
@@ -391,6 +484,11 @@ def main(argv=None) -> None:
                    help="shared-document-identity merge: dedup by url/source key, "
                         "keep-first (ref merge.go:137-190 semantics)")
     m.set_defaults(fn=cmd_merge)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("-k", type=int, default=10)
+    sv.set_defaults(fn=cmd_serve)
 
     up = sub.add_parser("upgrade")
     up.add_argument("--index", required=True, help="format-1 index dir")

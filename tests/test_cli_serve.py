@@ -1,0 +1,51 @@
+"""The stdin query-server loop (cli serve): request/response contract
+driven in-process against a real index — plain BM25 line, :phrase,
+:regex (store-docs), error handling, :quit termination. The BM25
+results must equal the one-shot query_index path (the warm server is
+a deployment shape, never a different engine)."""
+
+import argparse
+import io
+import json
+
+from searty_spark.index import query_index, write_index
+
+
+def test_serve_loop_contract(spark, small_corpus, tmp_path, monkeypatch, capsys):
+    from searty_spark import cli
+
+    d = str(tmp_path / "idx")
+    write_index(small_corpus, d, n_shards=2, n_buckets=4, store_docs=True)
+
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(
+            "shared\n"
+            ":phrase shared phrase\n"
+            ":regex shar(ed|k)\n"
+            ":bogus x\n"
+            "\n"
+            ":quit\n"
+            "never reached\n"
+        ),
+    )
+    cli.cmd_serve(argparse.Namespace(cpus=4, index=d, k=5))
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+
+    assert lines[0]["ready"] is True
+    bm25 = lines[1]
+    assert bm25["mode"] == "bm25"
+    want = [
+        [r["doc_id"], r["score"]] for r in query_index(spark, d, "shared", k=5).collect()
+    ]
+    assert bm25["results"] == want
+
+    phrase = lines[2]
+    assert phrase["mode"] == "phrase" and len(phrase["results"]) > 0
+
+    regex = lines[3]
+    assert regex["mode"] == "regex" and len(regex["results"]) > 0
+
+    assert "error" in lines[4] and "bogus" in lines[4]["error"]
+    # :quit stopped the loop before the trailing line
+    assert len(lines) == 5
