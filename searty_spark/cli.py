@@ -64,7 +64,15 @@ def cmd_serve(args) -> None:
     a positional phrase; `:regex <pat>` needs a --store-docs index;
     `:quit` exits. Responses:
     {"query":..., "mode":..., "results":[[doc_id, score]...],
-     "wall_sec":...} or {"error": ...}."""
+     "wall_sec":...} or {"error": ...}.
+
+    ``--threads N`` answers up to N requests concurrently (the shape
+    the interleaved A/B in BENCH/concurrent_ab.json measured at
+    ~1.5x sequential throughput on the no-exchange path): response
+    lines then arrive in COMPLETION order, each tagged with its
+    request ``seq`` number so a pipelining client can reorder."""
+    import threading
+
     from searty_spark.champions import champion_theta
     from searty_spark.phrase_seg import phrase_bm25_topk_segments
     from searty_spark.session import get_spark
@@ -78,19 +86,12 @@ def cmd_serve(args) -> None:
     if docs_path.exists():
         docs = spark.read.parquet(str(docs_path)).cache()
         docs.count()
+    threads = getattr(args, "threads", 1)
     print(json.dumps({"ready": True, "n_docs": stats["n_docs"],
-                      "index": args.index}), flush=True)
+                      "index": args.index, "threads": threads}), flush=True)
+    out_lock = threading.Lock()
 
-    for line in sys.stdin:
-        q = line.strip()
-        if not q:
-            continue
-        if q == ":quit":
-            break
-        mode, arg = "bm25", q
-        if q.startswith(":"):
-            head, _, rest = q.partition(" ")
-            mode, arg = head[1:], rest
+    def answer(seq: int, mode: str, arg: str) -> None:
         t0 = time.perf_counter()
         try:
             if mode == "bm25":
@@ -127,12 +128,37 @@ def cmd_serve(args) -> None:
                 res = [[r["doc_id"]] for r in rows]
             else:
                 raise ValueError(f"unknown mode {mode!r} (bm25|phrase|regex)")
-            print(json.dumps({
-                "query": arg, "mode": mode, "results": res,
+            line = json.dumps({
+                "seq": seq, "query": arg, "mode": mode, "results": res,
                 "wall_sec": round(time.perf_counter() - t0, 4),
-            }), flush=True)
+            })
         except ValueError as err:
-            print(json.dumps({"query": arg, "error": str(err)}), flush=True)
+            line = json.dumps({"seq": seq, "query": arg, "error": str(err)})
+        with out_lock:
+            print(line, flush=True)
+
+    import concurrent.futures as cf
+
+    pending: list = []
+    with cf.ThreadPoolExecutor(max_workers=max(threads, 1)) as ex:
+        seq = 0
+        for line in sys.stdin:
+            q = line.strip()
+            if not q:
+                continue
+            if q == ":quit":
+                break
+            mode, arg = "bm25", q
+            if q.startswith(":"):
+                head, _, rest = q.partition(" ")
+                mode, arg = head[1:], rest
+            if threads > 1:
+                pending.append(ex.submit(answer, seq, mode, arg))
+            else:
+                answer(seq, mode, arg)
+            seq += 1
+        for f in pending:
+            f.result()
 
 
 def cmd_upgrade(args) -> None:
@@ -488,6 +514,9 @@ def main(argv=None) -> None:
     sv = sub.add_parser("serve")
     sv.add_argument("--index", required=True)
     sv.add_argument("-k", type=int, default=10)
+    sv.add_argument("--threads", type=int, default=1,
+                    help="answer up to N requests concurrently "
+                         "(responses in completion order, tagged seq)")
     sv.set_defaults(fn=cmd_serve)
 
     up = sub.add_parser("upgrade")

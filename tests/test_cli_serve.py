@@ -49,3 +49,15 @@ def test_serve_loop_contract(spark, small_corpus, tmp_path, monkeypatch, capsys)
     assert "error" in lines[4] and "bogus" in lines[4]["error"]
     # :quit stopped the loop before the trailing line
     assert len(lines) == 5
+
+    # --threads: responses arrive in completion order, tagged with seq;
+    # every request is answered exactly once and bm25 results match
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("shared\nmodule\nquery\nshared\n:quit\n")
+    )
+    cli.cmd_serve(argparse.Namespace(cpus=4, index=d, k=5, threads=4))
+    clines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert clines[0]["threads"] == 4
+    got = {r["seq"]: r for r in clines[1:]}
+    assert sorted(got) == [0, 1, 2, 3]
+    assert got[0]["results"] == want and got[3]["results"] == want
