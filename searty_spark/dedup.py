@@ -284,60 +284,98 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each strictly
+    LARGER neighbor to m = min(N(u) ∪ {u}). Emitted edges always point
+    larger → smaller (m ≤ u < v), so orientation is preserved."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: for every node u over its SMALLER
+    neighbors Γ̃(u) (input edges are oriented larger → smaller, so
+    Γ̃(u) = dsts of u), connect each v ∈ Γ̃(u) ∪ {u} except the
+    minimum m to m. Output stays larger → smaller."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("mn"))
+    leaves = (
+        edges.join(mins, "src")
+        .filter(F.col("dst") != F.col("mn"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    centers = mins.select("src", F.col("mn").alias("dst"))
+    return leaves.union(centers).distinct()
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """(node, cluster_id) — connected components of the near-dup pair
-    graph by iterative min-label propagation: every node repeatedly
-    takes the minimum label among itself and its neighbors until a
-    fixpoint. Converges in O(graph diameter) rounds — near-dup
-    clusters are shallow (pairs/chains of a handful of docs), so this
-    terminates in 2-4 rounds in practice; ``max_iter`` is a safety rail
-    (raises if the fixpoint is not reached, never returns a partial
-    clustering).
+    graph by alternating large-star / small-star contraction
+    (Kiveris et al. 2014). Each round halves-or-better the distance of
+    every node to its component minimum, so convergence is
+    O(log n) rounds REGARDLESS of graph diameter — a near-dup chain
+    from templated web boilerplate (A~B~C~…, diameter in the
+    thousands) converges in ~log₂(chain length) rounds where plain
+    min-label propagation needs one round per hop. ``max_iter`` is a
+    safety rail (raises rather than returning a partial clustering);
+    the default 25 covers components of ~2^25 nodes.
 
-    Each round is one shuffle join + aggregation over the EDGE set
+    Each round is two shuffle aggregations + joins over the EDGE set
     (not the corpus): at 100 TB the candidate-pair graph is orders of
-    magnitude smaller than the corpus, which is what makes iterative
-    label propagation affordable where it matters.
+    magnitude smaller than the corpus. Convergence is detected by the
+    star-forest property (no dst ever reappears as a src), a single
+    semi-join emptiness probe — at that fixpoint every edge is
+    (node, component_min) because both operators only ever emit edges
+    pointing at the running minimum.
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .cache()
-    )
+    edges0 = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # localCheckpoint (not cache) each round: iterative DataFrame
     # algorithms otherwise nest every prior round's plan inside the
     # next one — lineage grows exponentially and the driver OOMs just
     # printing the tree by ~10 iterations
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("lbl"))
+    nodes = (
+        edges0.select(F.col("src").alias("node"))
+        .union(edges0.select(F.col("dst").alias("node")))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(max_iter):
-            neigh = (
-                edges.join(labels, edges["dst"] == labels["node"])
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.min("lbl").alias("nlbl"))
+    edges = (
+        edges0.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        is_star = edges.join(
+            edges.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
+        ).isEmpty()
+        if is_star:
+            non_roots = edges.select(
+                F.col("src").alias("node"), F.col("dst").alias("cluster_id")
             )
-            new = (
-                labels.join(neigh, "node", "left")
-                .select("node", F.least(F.col("lbl"), F.col("nlbl")).alias("lbl"))
-                .localCheckpoint(eager=True)
+            roots = nodes.join(non_roots, "node", "left_anti").select(
+                "node", F.col("node").alias("cluster_id")
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
-            labels = new
-            if changed == 0:
-                return labels.select("node", F.col("lbl").alias("cluster_id"))
-        raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
-    finally:
-        edges.unpersist()
+            return non_roots.union(roots)
+    raise RuntimeError(
+        f"large-star/small-star did not converge in {max_iter} rounds"
+    )
 
 
 def dup_clusters(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFrame:

@@ -61,6 +61,54 @@ def windowed_counts_stream(events: DataFrame, window: str = "1 hour", watermark:
     )
 
 
+N_SEEN_KEY_BUCKETS = 64
+
+
+def _seen_bucket_col(key_col: str):
+    # same xxhash64 discipline as segment buckets (index.py); pmod so
+    # negative hashes land in [0, n)
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(N_SEEN_KEY_BUCKETS)).cast("int")
+
+
+def seen_store_append(
+    df: DataFrame, seen_dir: str, doc_key: str = "url"
+) -> None:
+    """Append this batch's distinct keys to the persistent seen-keys
+    store, hash-partitioned by ``kb = xxhash64(key) mod 64`` so later
+    lookups prune to the buckets they actually touch."""
+    (
+        df.select(F.col(doc_key).alias("key"))
+        .distinct()
+        .withColumn("kb", _seen_bucket_col("key"))
+        .write.mode("append")
+        .partitionBy("kb")
+        .parquet(seen_dir)
+    )
+
+
+def seen_store_lookup(
+    spark: SparkSession, seen_dir: str, batch: DataFrame, doc_key: str = "url"
+) -> DataFrame:
+    """The store slice relevant to this batch: only the partitions the
+    batch's own keys hash into are read. The batch's bucket set is
+    collected (bounded by N_SEEN_KEY_BUCKETS=64 values, a driver-side
+    triviality) and pushed as a LITERAL isin filter on the partition
+    column — static partition pruning, visible as PartitionFilters in
+    the scan, so a batch touching b of 64 buckets reads b/64 of the
+    store regardless of how many keys the store holds."""
+    buckets = [
+        r["kb"]
+        for r in batch.select(_seen_bucket_col(doc_key).alias("kb"))
+        .distinct()
+        .collect()
+    ]
+    return (
+        spark.read.parquet(seen_dir)
+        .filter(F.col("kb").isin(buckets))
+        .select("key")
+    )
+
+
 def incremental_index_stream(
     spark: SparkSession,
     corpus_stream_dir: str,
@@ -80,14 +128,20 @@ def incremental_index_stream(
 
     ``dedup_recrawl=True`` adds cross-batch re-crawl detection: a
     persistent key store (``<work_dir>/seen_keys``, one row per
-    already-indexed ``doc_key``) is consulted per micro-batch and
+    already-indexed ``doc_key``, hash-partitioned into
+    ``n_key_buckets`` directories by xxhash64(key) — the same bucket
+    discipline as the segment store) is consulted per micro-batch and
     re-crawled documents are dropped (keep-FIRST, matching
     merge(dedup_docs=True) semantics) before indexing, so the partials
-    stay key-disjoint and the plain blob-space merge applies. Within a
-    batch, duplicate keys keep the lowest doc_id. foreachBatch runs
-    batches sequentially, so read-then-append on the key store is
-    race-free; at fleet scale the store is the same idea as a
-    state-store/Bloom front on the crawl frontier."""
+    stay key-disjoint and the plain blob-space merge applies. The
+    per-batch lookup reads ONLY the store buckets the batch's own keys
+    hash into (static partition pruning via an isin filter on the
+    partition column — see seen_store_lookup), so batch cost scales
+    with batch-key coverage, not store size. Within a batch, duplicate
+    keys keep the lowest doc_id. foreachBatch runs batches
+    sequentially, so read-then-append on the key store is race-free;
+    at fleet scale the bucketed store plays the role of a state-store
+    front on the crawl frontier."""
     from pathlib import Path
 
     from pyspark.sql import Window
@@ -110,7 +164,7 @@ def incremental_index_stream(
                 .drop("_rn")
             )
             if Path(seen_dir).exists():
-                seen = spark.read.parquet(seen_dir)
+                seen = seen_store_lookup(spark, seen_dir, df, doc_key)
                 df = df.join(
                     seen, df[doc_key] == seen["key"], "left_anti"
                 )
@@ -125,9 +179,7 @@ def incremental_index_stream(
                 return
         write_index(df, d, n_shards=n_shards, n_buckets=n_buckets, resume=False)
         if dedup_recrawl:
-            df.select(F.col(doc_key).alias("key")).distinct().write.mode(
-                "append"
-            ).parquet(seen_dir)
+            seen_store_append(df, seen_dir, doc_key)
         dirs.append(d)
 
     q = (

@@ -311,7 +311,11 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_contamination(
-    docs: DataFrame, bench: DataFrame, n: int = 5, text_col: str = "text"
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    max_broadcast_grams: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, n_ngrams, n_contaminated, contaminated) — benchmark
     decontamination, the GPT-3/Dolma-style check: a training document
@@ -319,14 +323,22 @@ def ngram_contamination(
     evaluation-benchmark text set. ``bench`` is a DataFrame with a
     ``text`` column (the benchmark corpus).
 
-    Plan: the benchmark's distinct n-grams are a SMALL set by
-    construction (benchmarks are thousands of docs, the corpus is
-    billions) — broadcast it; each training doc explodes to its
-    n-grams once, inner-joins the broadcast set, and aggregates
-    matches per doc_id. One explode + one broadcast join + one
-    uniform doc_id-keyed agg; the corpus is never shuffled on anything
-    but doc_id. Docs shorter than ``n`` words have n_ngrams = 0 and
-    are never contaminated."""
+    Plan: the benchmark's distinct n-grams are usually a SMALL set
+    (benchmarks are thousands of docs, the corpus is billions) —
+    broadcast them; each training doc explodes to its n-grams once,
+    inner-joins the broadcast set, and aggregates matches per doc_id.
+    One explode + one broadcast join + one uniform doc_id-keyed agg;
+    the corpus is never shuffled on anything but doc_id. Docs shorter
+    than ``n`` words have n_ngrams = 0 and are never contaminated.
+
+    "Small by construction" is guarded, not assumed: the distinct
+    bench grams are COUNTED first (one aggregation over the benchmark
+    side only — never the corpus), and above ``max_broadcast_grams``
+    the join falls back to a shuffled hash join (bench side still the
+    build side) instead of OOM-ing every executor with a multi-GB
+    broadcast when someone passes the union of a full eval suite.
+    The count costs one extra Spark job whose input is the benchmark,
+    which is exactly the side cheap enough to scan twice."""
     def grams(df):
         w = words_col(text_col)
         # sequence(1, 0) would generate DESCENDING [1, 0], not empty —
@@ -344,10 +356,18 @@ def ngram_contamination(
     bench_grams = grams(bench.select(F.col("doc_id"), F.col(text_col))).select(
         "gram"
     ).distinct()
+    n_bench_grams = bench_grams.count()
+    if n_bench_grams <= max_broadcast_grams:
+        bench_side = F.broadcast(bench_grams)
+    else:
+        # shuffle_hash, not sort-merge: the corpus-gram side streams
+        # through unsorted; only the (relatively) small bench side is
+        # hashed per partition
+        bench_side = bench_grams.hint("shuffle_hash")
     doc_grams = grams(docs)
     counts = doc_grams.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+        doc_grams.join(bench_side, "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))
     )

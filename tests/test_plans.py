@@ -183,14 +183,64 @@ def test_redact_pii_is_one_projection_no_shuffle(spark, small_corpus):
 
 
 def test_ngram_contamination_broadcasts_benchmark(spark, small_corpus):
-    """The benchmark gram set (small by construction) must be the
-    broadcast side; the corpus grams must never cartesian."""
+    """Below the gram-count guard the benchmark set must be the
+    broadcast side; ABOVE it the join must degrade to a shuffled hash
+    join (never a multi-GB broadcast, never a cartesian)."""
     from pyspark.sql import functions as F
 
     from searty_spark.textops import ngram_contamination
 
     bench = small_corpus.filter(F.col("doc_id") % 13 == 0)
     plan = _plan(ngram_contamination(small_corpus, bench, n=5))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+    big = _plan(ngram_contamination(small_corpus, bench, n=5, max_broadcast_grams=0))
+    assert "CartesianProduct" not in big, big
+    # the GRAM join specifically must not broadcast (the doc_id
+    # assembly joins may — they're corpus-cardinality-bounded)
+    gram_broadcasts = [
+        ln for ln in big.splitlines() if "BroadcastHashJoin [gram" in ln
+    ]
+    assert not gram_broadcasts, big
+    assert "ShuffledHashJoin" in big, big
+
+
+def test_seen_store_lookup_prunes_buckets(spark, tmp_path):
+    """The streaming re-crawl key store is hash-partitioned by
+    kb = xxhash64(key) mod 64; a batch's lookup must reach the scan as
+    a PartitionFilter and read only the batch's own buckets."""
+    from searty_spark.streaming import (
+        N_SEEN_KEY_BUCKETS,
+        seen_store_append,
+        seen_store_lookup,
+    )
+
+    store = str(tmp_path / "seen_keys")
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://ex.com/"), F.col("id")).alias("url"),
+    )
+    seen_store_append(docs, store, "url")
+    n_store_buckets = len(
+        [p for p in __import__("pathlib").Path(store).iterdir() if p.name.startswith("kb=")]
+    )
+    assert n_store_buckets > N_SEEN_KEY_BUCKETS // 2  # store spans most buckets
+
+    batch = docs.filter(F.col("doc_id") < 3)  # touches <= 3 buckets
+    looked = seen_store_lookup(spark, store, batch, "url")
+    plan = _plan(looked)
+    # the bucket set must reach the scan as a PartitionFilter with <=3
+    # literal values — partition pruning happens at file-listing time,
+    # so this line IS the b-of-64-buckets IO guarantee
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "kb" in pf.group(1), plan
+    in_list = re.search(r"kb#\d+ IN \(([^)]*)\)", pf.group(1))
+    assert in_list and len(in_list.group(1).split(",")) <= 3, pf.group(1)
+    # the slice holds the touched buckets' keys only (~3/64 of the
+    # store), and every batch key is in it (anti-join correctness)
+    got = {r["key"] for r in looked.collect()}
+    assert {"https://ex.com/0", "https://ex.com/1", "https://ex.com/2"} <= got
+    assert len(got) < 100
