@@ -5,13 +5,24 @@ BUILD product, not a query by-product (its inverted index tables,
 ref lib/database/schema.sql:19-23, are written by the indexer and only
 read at query time). This module gives the ANN surface the same shape:
 
-    <dir>/vectors/cell=N/   (vec_id, codes array<int>) parquet,
-                            hive-partitioned by IVF cell — a query's
-                            probe set becomes a PARTITION FILTER, so
-                            unprobed cells' files are never opened
+    <dir>/vectors/batch=B/cell=N/  (vec_id, codes array<int>) parquet,
+                            hive-partitioned by ingest batch and IVF
+                            cell — a query's probe set becomes a
+                            PARTITION FILTER, so unprobed cells' files
+                            are never opened
     <dir>/centroids.json    trained IVF codebook (n_cells x dim)
     <dir>/codebooks.json    trained PQ codebooks (m x k x dim/m)
-    <dir>/ann_stats.json    {format, params, n_vectors}
+    <dir>/ann_stats.json    {format, params, n_vectors, batches}
+
+    ``batches`` is the COMMIT MANIFEST: readers list exactly the batch
+    directories it names, never the filesystem (directory listing is
+    not a commit log). An append writes its rows to a fresh batch dir
+    first and only then commits by atomically rewriting ann_stats.json
+    (os.replace) — a crash in between leaves an orphan directory that
+    every reader ignores and that the REPLAYED batch simply overwrites,
+    so incremental_ann_stream's checkpoint replay is wedge-free by
+    construction (no duplicate-vec_id false positive: the disjointness
+    check also sees only committed rows).
 
 Scale shape: training is driver-side on a bounded sample (constant
 cost at any corpus size — see ann.ivf_train); assignment + encoding is
@@ -46,7 +57,31 @@ from searty_spark.ann import (
     pq_train,
 )
 
-ANN_FORMAT = 1
+ANN_FORMAT = 2
+
+
+def _write_stats(out: Path, stats: dict) -> None:
+    """Atomic commit point: stats (including the batch manifest) land
+    via write-to-temp + os.replace, so readers see the old or the new
+    manifest, never a torn one."""
+    import os
+
+    tmp = out / "ann_stats.json.tmp"
+    tmp.write_text(json.dumps(stats))
+    os.replace(tmp, out / "ann_stats.json")
+
+
+def _read_vectors(spark: SparkSession, index_dir: str, stats: dict) -> DataFrame:
+    """The committed rows only: list exactly the manifest's batch dirs
+    (basePath keeps batch/cell as partition columns), then drop the
+    batch column — it's a commit-protocol detail, not query state."""
+    root = Path(index_dir) / "vectors"
+    paths = [str(root / f"batch={b}") for b in stats["batches"]]
+    return (
+        spark.read.option("basePath", str(root))
+        .parquet(*paths)
+        .select("vec_id", "cell", "codes")
+    )
 
 
 def _assign_encode_udf(cents: np.ndarray, books: np.ndarray):
@@ -100,10 +135,9 @@ def write_ann_index(
     vectors = embeddings.select("vec_id", enc("embedding").alias("vc")).select(
         "vec_id", F.col("vc.cell").alias("cell"), F.col("vc.codes").alias("codes")
     )
-    vectors.write.partitionBy("cell").mode("overwrite").parquet(str(out / "vectors"))
-    n_vectors = embeddings.sparkSession.read.parquet(str(out / "vectors")).count()
-    (out / "centroids.json").write_text(json.dumps(cents.tolist()))
-    (out / "codebooks.json").write_text(json.dumps(books.tolist()))
+    vectors.write.partitionBy("cell").mode("overwrite").parquet(
+        str(out / "vectors" / "batch=0")
+    )
     stats = {
         "format": ANN_FORMAT,
         "n_cells": n_cells,
@@ -112,9 +146,13 @@ def write_ann_index(
         "m": m,
         "pq_k": pq_k,
         "dim": int(np.asarray(cents).shape[1]),
-        "n_vectors": int(n_vectors),
+        "batches": [0],
     }
-    (out / "ann_stats.json").write_text(json.dumps(stats))
+    n_vectors = _read_vectors(embeddings.sparkSession, out_dir, stats).count()
+    stats["n_vectors"] = int(n_vectors)
+    (out / "centroids.json").write_text(json.dumps(cents.tolist()))
+    (out / "codebooks.json").write_text(json.dumps(books.tolist()))
+    _write_stats(out, stats)
     return stats
 
 
@@ -142,6 +180,14 @@ def append_ann_index(
     the only part of append whose cost grows with the EXISTING corpus;
     everything else (encode, write, the n_vectors increment) scales
     with the new batch alone.
+
+    Crash safety: rows land in a FRESH batch directory
+    (``vectors/batch=<max+1>``, mode overwrite) and become visible only
+    when the manifest in ann_stats.json is atomically replaced. A crash
+    before the commit leaves an orphan dir no reader lists; the replay
+    of that batch (same max+1 id — the manifest never advanced)
+    overwrites the orphan and commits. No partial state is observable,
+    so there is no repair procedure to document.
 
     Reference shape: build-once/query-many + incremental merge,
     ref lib/indexer/merge.go:455-502 — re-expressed as a partitioned-
@@ -177,9 +223,13 @@ def append_ann_index(
         "vec_id", F.col("vc.cell").alias("cell"), F.col("vc.codes").alias("codes")
     )
     out = Path(index_dir)
-    rows.write.partitionBy("cell").mode("append").parquet(str(out / "vectors"))
+    bid = max(stats["batches"]) + 1
+    rows.write.partitionBy("cell").mode("overwrite").parquet(
+        str(out / "vectors" / f"batch={bid}")
+    )
+    stats["batches"] = stats["batches"] + [bid]
     stats["n_vectors"] = int(stats["n_vectors"]) + n_new
-    (out / "ann_stats.json").write_text(json.dumps(stats))
+    _write_stats(out, stats)
     return stats
 
 
@@ -200,6 +250,17 @@ def merge_ann_indexes(
     re-encode."""
     if len(index_dirs) < 1:
         raise ValueError("need at least one input index")
+    # fail BEFORE any write when out_dir is an input: the union is
+    # lazy, so an overwrite onto a source path would delete files that
+    # are still being read
+    out_res = Path(out_dir).resolve()
+    for d in index_dirs:
+        if Path(d).resolve() == out_res:
+            raise ValueError(
+                f"out_dir {out_dir} is also an input index — merging an "
+                "index onto itself would overwrite its files mid-read; "
+                "write to a fresh directory"
+            )
     d0 = Path(index_dirs[0])
     stats0 = json.loads((d0 / "ann_stats.json").read_text())
     if stats0.get("format") != ANN_FORMAT:
@@ -221,7 +282,8 @@ def merge_ann_indexes(
             )
     vecs = None
     for d in index_dirs:
-        v = spark.read.parquet(str(Path(d) / "vectors"))
+        s = json.loads((Path(d) / "ann_stats.json").read_text())
+        v = _read_vectors(spark, d, s)
         vecs = v if vecs is None else vecs.unionByName(v)
     if check_disjoint:
         dup = (
@@ -234,12 +296,15 @@ def merge_ann_indexes(
             )
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    vecs.write.partitionBy("cell").mode("overwrite").parquet(str(out / "vectors"))
+    vecs.write.partitionBy("cell").mode("overwrite").parquet(
+        str(out / "vectors" / "batch=0")
+    )
     (out / "centroids.json").write_text(cents_txt)
     (out / "codebooks.json").write_text(books_txt)
     stats = dict(stats0)
-    stats["n_vectors"] = int(spark.read.parquet(str(out / "vectors")).count())
-    (out / "ann_stats.json").write_text(json.dumps(stats))
+    stats["batches"] = [0]
+    stats["n_vectors"] = int(_read_vectors(spark, out_dir, stats).count())
+    _write_stats(out, stats)
     return stats
 
 
@@ -257,7 +322,7 @@ def load_ann_index(
         )
     cents = np.asarray(json.loads((d / "centroids.json").read_text()), dtype=np.float64)
     books = np.asarray(json.loads((d / "codebooks.json").read_text()), dtype=np.float64)
-    vectors = spark.read.parquet(str(d / "vectors"))
+    vectors = _read_vectors(spark, index_dir, stats)
     return stats, cents, books, vectors
 
 

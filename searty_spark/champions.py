@@ -48,23 +48,35 @@ CHAMPION_SCHEMA = (
     "term string, doc_ids array<long>, tfs array<long>, dls array<long>"
 )
 
-CHAMPION_FORMAT = 1
+CHAMPION_FORMAT = 2
 
 
 def segment_fingerprint(segments: DataFrame) -> int:
     """Deterministic identity of a segment table: an order-independent
-    sum of per-row hashes over (term, shard, df, cf). Computed WITHOUT
-    touching blobs (df/cf are tiny columns), so it costs one scan of
+    sum of per-row hashes over (term, shard, df, cf) PLUS the per-block
+    metadata (block_last_doc, block_max_tf, block_min_dl,
+    block_offset). Computed WITHOUT touching blobs (the block arrays
+    are tiny next to the encoded postings), so it costs one scan of
     the n_terms x n_shards row table. theta0 soundness requires every
     champion row to be a real posting of the CURRENT segments; the
     sidecar stamps this fingerprint at build time and ChampionClient
     degrades to theta0=0 (no pruning, still exact) when the stamp no
     longer matches — e.g. a sidecar copied between indexes, or segments
-    rewritten by a path that forgot to re-derive. Any segment rewrite
-    that changes postings changes some (term, shard, df, cf) row, which
-    flips the sum. Summed in decimal(38,0) (ANSI long sum would
+    rewritten by a path that forgot to re-derive.
+
+    This is a strong HEURISTIC guard, not a cryptographic proof over
+    the blobs: a rewrite that redistributes tf/dl while preserving
+    df, cf, every block's last_doc/max_tf/min_dl AND every encoded
+    block's byte offsets would pass — folding the block stats in
+    (format 2) closes the realistic version of that hole (the format-1
+    stamp over (term, shard, df, cf) alone missed any same-df
+    redistribution). Summed in decimal(38,0) (ANSI long sum would
     overflow) and reduced mod 2^64 driver-side."""
-    return _table_fingerprint(segments, ["term", "shard", "df", "cf"])
+    return _table_fingerprint(
+        segments,
+        ["term", "shard", "df", "cf",
+         "block_last_doc", "block_max_tf", "block_min_dl", "block_offset"],
+    )
 
 
 def sidecar_fingerprint(champions: DataFrame) -> int:
@@ -330,8 +342,9 @@ def _sidecar_state_key(index_dir: str) -> tuple:
     """Filesystem identity of (sidecar, segments) used to memoize the
     fingerprint verification per process: one-shot paths (query_index
     constructs a ChampionClient per query) must not pay a scan per
-    query. Any segment rewrite touches some partition directory's
-    mtime; meta/stats rewrites touch theirs."""
+    query. FILE mtimes are folded in alongside directory mtimes — an
+    in-place part-file overwrite leaves its directory's mtime alone,
+    and must not serve a cached verdict."""
     import os
 
     d = Path(index_dir).resolve()
@@ -341,11 +354,16 @@ def _sidecar_state_key(index_dir: str) -> tuple:
         keys.append(f.stat().st_mtime_ns if f.exists() else -1)
     for sub in ("segments", "champions"):
         mx = -1
+        n = 0
         p = d / sub
         if p.exists():
-            for root, _dirs, _files in os.walk(p):
+            for root, _dirs, files in os.walk(p):
                 mx = max(mx, os.stat(root).st_mtime_ns)
+                for fn in files:
+                    mx = max(mx, os.stat(os.path.join(root, fn)).st_mtime_ns)
+                    n += 1
         keys.append(mx)
+        keys.append(n)
     return (str(d), *keys)
 
 

@@ -132,7 +132,12 @@ def cmd_serve(args) -> None:
                 "seq": seq, "query": arg, "mode": mode, "results": res,
                 "wall_sec": round(time.perf_counter() - t0, 4),
             })
-        except ValueError as err:
+        # catch EVERYTHING, not just ValueError: a malformed :regex
+        # raises re.error (literal extraction) or Py4JJavaError (JVM
+        # rlike at collect) — an escaping exception would kill the
+        # worker thread silently and break the every-request-answered-
+        # exactly-once contract a pipelining client relies on
+        except Exception as err:  # noqa: BLE001
             line = json.dumps({"seq": seq, "query": arg, "error": str(err)})
         with out_lock:
             print(line, flush=True)

@@ -267,3 +267,45 @@ def test_ann_append_equals_rebuild_and_merge(emb, tmp_path):
     if json.loads(open(f"{d_c}/codebooks.json").read()) != books.tolist():
         with pytest.raises(ValueError, match="codebooks differ"):
             ann_index.merge_ann_indexes(spark, [d_a, d_c], str(tmp_path / "m3"))
+
+
+def test_ann_append_crash_replay_and_self_merge_guard(emb, tmp_path):
+    """The manifest commit protocol: an append that crashed after
+    writing its batch dir but BEFORE committing ann_stats.json is
+    invisible to readers, and replaying the same batch succeeds
+    (overwrites the orphan) instead of wedging on the duplicate-vec_id
+    check; merging an index onto itself fails before any write."""
+    import json
+    from pathlib import Path
+
+    from searty_spark import ann_index
+
+    spark = emb.sparkSession
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    d = str(tmp_path / "crash")
+    ann_index.write_ann_index(old, d, n_cells=8, n_iter=2, m=8, pq_k=16)
+    stats0, cents, books, _ = ann_index.load_ann_index(spark, d)
+
+    # simulate the crash: batch rows land, manifest never advances
+    enc = ann_index._assign_encode_udf(cents, books)
+    orphan = new.select("vec_id", enc("embedding").alias("vc")).select(
+        "vec_id", F.col("vc.cell").alias("cell"), F.col("vc.codes").alias("codes")
+    )
+    orphan.write.partitionBy("cell").mode("overwrite").parquet(f"{d}/vectors/batch=1")
+
+    # readers ignore the orphan entirely
+    s, _, _, vectors = ann_index.load_ann_index(spark, d)
+    assert s["batches"] == [0] and vectors.count() == old.count()
+
+    # the replayed append does NOT false-positive on duplicate vec_ids,
+    # overwrites the orphan dir, and commits
+    stats = ann_index.append_ann_index(new, d)
+    assert stats["batches"] == [0, 1] and stats["n_vectors"] == emb.count()
+    assert ann_index.load_ann_index(spark, d)[3].count() == emb.count()
+
+    # self-merge guard: fail fast, input untouched
+    with pytest.raises(ValueError, match="onto itself"):
+        ann_index.merge_ann_indexes(spark, [d, str(tmp_path / "crash/../crash")], d)
+    assert json.loads(Path(d, "ann_stats.json").read_text())["n_vectors"] == emb.count()

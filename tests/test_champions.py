@@ -239,6 +239,8 @@ def test_stale_sidecar_degrades_to_no_pruning(spark, small_corpus, tmp_path):
     cc = ChampionClient(spark, d2)
     assert cc.stale and cc.lookup(["sha", "har"]) == {}
     # verify=False opts out (trusted caller), sidecar serves again
-    meta["format"] = 1
+    from searty_spark.champions import CHAMPION_FORMAT
+
+    meta["format"] = CHAMPION_FORMAT
     (Path(d2) / "champions_meta.json").write_text(json.dumps(meta))
     assert not ChampionClient(spark, d2).stale

@@ -50,6 +50,16 @@ def test_serve_loop_contract(spark, small_corpus, tmp_path, monkeypatch, capsys)
     # :quit stopped the loop before the trailing line
     assert len(lines) == 5
 
+    # a malformed regex raises re.error / Py4JJavaError, NOT ValueError
+    # — the server must still answer that seq with an error line (and
+    # with --threads the worker must not die silently)
+    monkeypatch.setattr("sys.stdin", io.StringIO(":regex ([unclosed\nshared\n:quit\n"))
+    cli.cmd_serve(argparse.Namespace(cpus=4, index=d, k=5, threads=2))
+    elines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    got_e = {r["seq"]: r for r in elines[1:]}
+    assert sorted(got_e) == [0, 1]
+    assert "error" in got_e[0] and "results" in got_e[1]
+
     # --threads: responses arrive in completion order, tagged with seq;
     # every request is answered exactly once and bm25 results match
     monkeypatch.setattr(
