@@ -551,15 +551,17 @@ def q_pq_topk(spark, sf):
 
 def q_ivf_pq_topk(spark, sf):
     """The composed FAISS architecture end-to-end: trained coarse
-    quantizer prunes to n_probe cells, PQ codes ADC-scan only those,
-    exact re-rank — every decision rounded, whole pipeline replayed by
-    the oracle."""
+    quantizer prunes to n_probe cells, RESIDUAL PQ codes (books trained
+    on v - centroid[cell] — the real IVF-PQ shape, +0.2 adversarial
+    recall@10 over flat codes at identical query cost) ADC-scan only
+    those with the exact <q, centroid> anchor term, exact re-rank —
+    every decision rounded, whole pipeline replayed by the oracle."""
     emb = _emb(spark, sf)
     cents = ann.ivf_train(emb, n_cells=IVF_CELLS, n_iter=IVF_ITER, sample=IVF_SAMPLE)
-    books = ann.pq_train(emb, m=PQ_M, k=PQ_K, n_iter=2, sample=IVF_SAMPLE)
+    books = ann.pq_train(emb, m=PQ_M, k=PQ_K, n_iter=2, sample=IVF_SAMPLE, cents=cents)
     return ann.ivf_pq_topk(
         emb, query_vec_id=0, cents=cents, books=books,
-        k=10, n_probe=IVF_PROBE, refine=PQ_REFINE,
+        k=10, n_probe=IVF_PROBE, refine=PQ_REFINE, residual=True,
     )
 
 
@@ -1110,6 +1112,8 @@ def _pq_topk_sql(
     sample: int = IVF_SAMPLE,
     refine: int = PQ_REFINE,
     dim: int = 64,
+    enc_src: str = "n",
+    with_base: bool = False,
 ) -> str:
     """DuckDB twin of ann.pq_train + pq_encode + pq_topk: replays the m
     independent subspace k-means (L2 in the algebraic form
@@ -1117,7 +1121,15 @@ def _pq_topk_sql(
     the lowest code, plain-mean updates, empty cells keep previous),
     the full-corpus encoding, the ADC table lookup, the
     (round(approx,6) DESC, vec_id) candidate cut, and the exact
-    re-rank."""
+    re-rank.
+
+    ``enc_src`` names the CTE whose vectors are trained on and encoded
+    (``n`` = the normalized corpus; the residual IVF-PQ splice passes
+    ``resid``). The ADC query table always comes from the unit query in
+    ``n``. ``with_base=True`` adds the residual anchor: approx =
+    round(basec.base + sum tv, 6), with ``basec`` (vec_id, base)
+    supplied by the surrounding query (_ivf_pq_sql defines it as
+    <q, centroid[cell]>)."""
     dsub = dim // m
     unit = (
         "CASE WHEN sqrt(list_dot_product({x}, {x})) > 0 "
@@ -1131,13 +1143,13 @@ def _pq_topk_sql(
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"n AS (SELECT vec_id, {unit.format(x='v')} AS v FROM e)",
-        f"s AS (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {sample})",
+        f"ps AS (SELECT vec_id, v FROM {enc_src} ORDER BY vec_id LIMIT {sample})",
     ]
     code_units, tbl_units = [], []
     for j in range(m):
         lo, hi = j * dsub + 1, (j + 1) * dsub
         ctes += [
-            f"sb{j} AS (SELECT vec_id, v[{lo}:{hi}] AS x FROM s)",
+            f"sb{j} AS (SELECT vec_id, v[{lo}:{hi}] AS x FROM ps)",
             f"sv{j} AS (SELECT vec_id, i AS dim, x[i] AS val "
             f"FROM sb{j} CROSS JOIN generate_series(1, {dsub}) AS t(i))",
             f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "
@@ -1160,7 +1172,7 @@ def _pq_topk_sql(
             ]
         cf = f"c{j}_{n_iter}"
         ctes += [
-            f"nb{j} AS (SELECT vec_id, v[{lo}:{hi}] AS x FROM n)",
+            f"nb{j} AS (SELECT vec_id, v[{lo}:{hi}] AS x FROM {enc_src})",
             f"enc{j} AS (SELECT vec_id, cell AS code FROM ("
             f"SELECT nb.vec_id, c.cell, row_number() OVER (PARTITION BY nb.vec_id "
             f"ORDER BY {d2.format(x='nb.x', c='c.cv')} ASC, c.cell) AS rn "
@@ -1171,12 +1183,24 @@ def _pq_topk_sql(
         ]
         code_units.append(f"SELECT vec_id, {j} AS j, code FROM enc{j}")
         tbl_units.append(f"SELECT {j} AS j, cell, tv FROM t{j}")
+    if with_base:
+        approx = (
+            "adcsum AS (SELECT vec_id, sum(tt.tv) AS tsum "
+            "FROM codes JOIN tt ON tt.j = codes.j AND tt.cell = codes.code "
+            "GROUP BY vec_id),\n"
+            "approx AS (SELECT a.vec_id, round(b.base + a.tsum, 6) AS approx "
+            "FROM adcsum a JOIN basec b USING (vec_id))"
+        )
+    else:
+        approx = (
+            "approx AS (SELECT vec_id, round(sum(tt.tv), 6) AS approx "
+            "FROM codes JOIN tt ON tt.j = codes.j AND tt.cell = codes.code "
+            "GROUP BY vec_id)"
+        )
     ctes += [
         "codes AS (" + " UNION ALL ".join(code_units) + ")",
         "tt AS (" + " UNION ALL ".join(tbl_units) + ")",
-        "approx AS (SELECT vec_id, round(sum(tt.tv), 6) AS approx "
-        "FROM codes JOIN tt ON tt.j = codes.j AND tt.cell = codes.code "
-        "GROUP BY vec_id)",
+        approx,
         f"cand AS (SELECT vec_id FROM approx WHERE vec_id != {qid} "
         f"ORDER BY approx DESC, vec_id LIMIT {refine})",
         f"qr AS (SELECT v AS qv FROM e WHERE vec_id = {qid})",
@@ -1202,23 +1226,42 @@ def _ivf_pq_sql(
     refine: int = PQ_REFINE,
     dim: int = 64,
 ) -> str:
-    """DuckDB twin of ann.ivf_pq_topk — the composed FAISS shape: the
-    trained-IVF chain produces the probed-cell vector set, the PQ chain
-    ADC-scans only that set, then exact re-rank. Both chains reuse the
-    same rounded decision rules their standalone oracles validate."""
+    """DuckDB twin of ann.ivf_pq_topk — the composed FAISS shape with
+    RESIDUAL codes: the trained-IVF chain produces the assignment and
+    the probed-cell vector set; the PQ chain trains on and encodes
+    r = v - centroid[cell] (the ``resid`` CTE) restricted to the probed
+    set; the ADC estimate anchors on basec = <q, centroid[cell]>
+    exactly (round(base + sum tv, 6) — the same single rounding the
+    pandas kernel applies); exact re-rank last. Both chains reuse the
+    rounded decision rules their standalone oracles validate."""
     ivf = _ivf_trained_sql(qid, k, n_cells, n_iter, sample, n_probe, dim)
-    pq = _pq_topk_sql(qid, k, m, kc, n_iter, sample, refine, dim)
-    # splice: IVF CTEs up to `probe`, then restrict the PQ encode scan
+    pq = _pq_topk_sql(
+        qid, k, m, kc, n_iter, sample, refine, dim,
+        enc_src="resid", with_base=True,
+    )
+    # splice: IVF CTEs up to `probe`, then the residual space, then the
+    # PQ chain over it
     ivf_ctes = ivf.split("WITH ", 1)[1].rsplit(",\nqr AS", 1)[0]
     ivf_ctes = ivf_ctes.rsplit(",\ncand AS", 1)[0]  # drop IVF's own cand
-    pq_body = pq.split("WITH ", 1)[1]
-    # PQ re-defines e/n/s identically — drop its copies
-    pq_body = pq_body.split("sb0 AS", 1)[1]
-    pq_ctes_and_final = "sb0 AS" + pq_body
+    cf = f"c{n_iter}"  # the trained IVF codebook CTE
+    resid = (
+        f"resid AS (SELECT n.vec_id, list_transform(generate_series(1, {dim}), "
+        f"i -> n.v[i] - c.cv[i]) AS v "
+        f"FROM n JOIN assign USING (vec_id) JOIN {cf} c ON c.cell = assign.cell)"
+    )
+    basec = (
+        f"basec AS (SELECT a.vec_id, list_dot_product(qn.qv, c.cv) AS base "
+        f"FROM assign a JOIN {cf} c USING (cell) CROSS JOIN qn)"
+    )
     probed = (
         "probedvecs AS (SELECT vec_id FROM assign "
         "WHERE cell IN (SELECT cell FROM probe))"
     )
+    pq_body = pq.split("WITH ", 1)[1]
+    # PQ re-defines e/n identically — drop its copies, keep from its
+    # sample CTE (ps) on
+    pq_body = pq_body.split("ps AS", 1)[1]
+    pq_ctes_and_final = "ps AS" + pq_body
     # restrict every enc{j} scan to the probed set
     for j in range(m):
         marker = f"FROM nb{j} nb CROSS JOIN"
@@ -1229,7 +1272,19 @@ def _ivf_pq_sql(
             f"JOIN probedvecs USING (vec_id)) nb CROSS JOIN",
             1,
         )
-    return "WITH " + ivf_ctes + ",\n" + probed + ",\n" + pq_ctes_and_final
+    out = (
+        "WITH " + ivf_ctes + ",\n" + resid + ",\n" + basec + ",\n"
+        + probed + ",\n" + pq_ctes_and_final
+    )
+    # DuckDB inlines single-reference CTEs; the 8 subspace chains each
+    # re-inline resid -> assign -> the whole IVF k-means, exploding the
+    # plan (the un-materialized query runs >5 min where this runs ~2 s).
+    # Pin the shared spine as MATERIALIZED.
+    for cte in ("n", "assign", cf, "resid", "basec", "probedvecs", "ps"):
+        marker = f",\n{cte} AS ("
+        assert marker in out, cte
+        out = out.replace(marker, f",\n{cte} AS MATERIALIZED (", 1)
+    return out
 
 
 def _gopher_q_ctes(src: str = "documents") -> str:

@@ -63,6 +63,9 @@ def clustered_fixture(n: int = 2000, dim: int = 64, n_clusters: int = 16) -> np.
 
 
 def sweep(spark, V: np.ndarray, n_queries: int) -> dict:
+    """Flat PQ and residual IVF-PQ (the production default since round
+    6: books trained on v - centroid[cell], ADC anchored on the exact
+    <q, centroid> term) side by side."""
     from pyspark.sql import types as T
 
     from searty_spark import ann
@@ -82,15 +85,9 @@ def sweep(spark, V: np.ndarray, n_queries: int) -> dict:
         order = [int(i) for i in np.lexsort((np.arange(n), -sims[q])) if i != q]
         return set(order[:K])
 
-    out = {}
-    for kc in KCS:
-        books = ann.pq_train(emb_df, m=M, k=kc, n_iter=2, sample=4096)
+    def measure(books, codes, base_by_cell=None, cell=None):
         dsub = dim // M
-        codes = np.empty((n, M), dtype=np.int64)
-        for j in range(M):
-            codes[:, j] = ann._sub_l2_argmin(
-                Vu[:, j * dsub:(j + 1) * dsub], books[j]
-            )
+        res = {}
         for refine in REFINES:
             recalls = []
             for q in range(n_queries):
@@ -98,15 +95,43 @@ def sweep(spark, V: np.ndarray, n_queries: int) -> dict:
                 tbl = np.stack([
                     books[j] @ qv[j * dsub:(j + 1) * dsub] for j in range(M)
                 ])
-                approx = np.round(
-                    tbl[np.arange(M)[None, :], codes].sum(axis=1), 6
-                )
+                tsum = tbl[np.arange(M)[None, :], codes].sum(axis=1)
+                if base_by_cell is not None:
+                    tsum = base_by_cell(qv)[cell] + tsum
+                approx = np.round(tsum, 6)
                 approx[q] = -np.inf
                 cand = np.lexsort((np.arange(n), -approx))[:refine]
                 exact = sims[q, cand]
                 top = cand[np.lexsort((cand, -exact))[:K]]
                 recalls.append(len(set(map(int, top)) & truth(q)) / K)
-            out[f"k{kc}_refine{refine}"] = round(float(np.mean(recalls)), 4)
+            res[refine] = round(float(np.mean(recalls)), 4)
+        return res
+
+    dsub = dim // M
+    cents = ann.ivf_train(emb_df, n_cells=32, n_iter=2, sample=4096)
+    cell = np.argmax(np.round(Vu @ cents.T, 6), axis=1)
+    R = Vu - cents[cell]
+    out = {}
+    for kc in KCS:
+        books = ann.pq_train(emb_df, m=M, k=kc, n_iter=2, sample=4096)
+        codes = np.empty((n, M), dtype=np.int64)
+        for j in range(M):
+            codes[:, j] = ann._sub_l2_argmin(
+                Vu[:, j * dsub:(j + 1) * dsub], books[j]
+            )
+        for refine, rec in measure(books, codes).items():
+            out[f"k{kc}_refine{refine}"] = rec
+
+        rbooks = ann.pq_train(emb_df, m=M, k=kc, n_iter=2, sample=4096, cents=cents)
+        rcodes = np.empty((n, M), dtype=np.int64)
+        for j in range(M):
+            rcodes[:, j] = ann._sub_l2_argmin(
+                R[:, j * dsub:(j + 1) * dsub], rbooks[j]
+            )
+        for refine, rec in measure(
+            rbooks, rcodes, base_by_cell=lambda qv: cents @ qv, cell=cell
+        ).items():
+            out[f"residual_k{kc}_refine{refine}"] = rec
     return out
 
 

@@ -57,7 +57,7 @@ from searty_spark.ann import (
     pq_train,
 )
 
-ANN_FORMAT = 2
+ANN_FORMAT = 3
 
 
 def _write_stats(out: Path, stats: dict) -> None:
@@ -84,10 +84,13 @@ def _read_vectors(spark: SparkSession, index_dir: str, stats: dict) -> DataFrame
     )
 
 
-def _assign_encode_udf(cents: np.ndarray, books: np.ndarray):
+def _assign_encode_udf(cents: np.ndarray, books: np.ndarray, residual: bool = True):
     """One Arrow-batch kernel producing (cell, codes) together — the
     build pass is a single map over the embeddings, no shuffle, no
-    assign-join-codes."""
+    assign-join-codes. ``residual=True`` encodes v - centroid[cell]
+    (books must be residual-trained: pq_train(cents=...)) — the FAISS
+    IVF-PQ shape; the cell is already in hand, so the subtraction is
+    free inside the same kernel."""
     c = np.asarray(cents, dtype=np.float64)
     b = np.asarray(books, dtype=np.float64)
     m, _, dsub = b.shape
@@ -97,6 +100,8 @@ def _assign_encode_udf(cents: np.ndarray, books: np.ndarray):
         v = _unit_rows(np.stack(emb.to_numpy()).astype(np.float64))
         # same rounded decision rules as ivf_assign_centroids/pq_encode
         cell = np.argmax(np.round(v @ c.T, 6), axis=1).astype(np.int64)
+        if residual:
+            v = v - c[cell]
         codes = np.empty((v.shape[0], m), dtype=np.int32)
         for j in range(m):
             codes[:, j] = _sub_l2_argmin(v[:, j * dsub : (j + 1) * dsub], b[j])
@@ -115,23 +120,30 @@ def write_ann_index(
     pq_k: int = 16,
     cents: np.ndarray | None = None,
     books: np.ndarray | None = None,
+    residual: bool = True,
 ) -> dict:
     """Train (bounded driver-side sample) + one distributed
     assign/encode pass + partitioned write. Returns the stats dict.
     Pass pre-trained ``cents``/``books`` to encode under FROZEN
     codebooks instead of training — the twin append_ann_index uses for
     its append == rebuild identity (codes are a pure function of
-    (vector, codebooks), so the two must write identical rows)."""
+    (vector, codebooks), so the two must write identical rows).
+    ``residual=True`` (default) stores FAISS-shape IVF-PQ residual
+    codes (books trained on v - centroid[cell]); the flag persists in
+    ann_stats.json and every reader honors it."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     if cents is None:
         cents = ivf_train(embeddings, n_cells=n_cells, n_iter=n_iter, sample=sample)
     if books is None:
-        books = pq_train(embeddings, m=m, k=pq_k, n_iter=n_iter, sample=sample)
+        books = pq_train(
+            embeddings, m=m, k=pq_k, n_iter=n_iter, sample=sample,
+            cents=cents if residual else None,
+        )
     cents = np.asarray(cents, dtype=np.float64)
     books = np.asarray(books, dtype=np.float64)
     n_cells, m, pq_k = cents.shape[0], books.shape[0], books.shape[1]
-    enc = _assign_encode_udf(cents, books)
+    enc = _assign_encode_udf(cents, books, residual=residual)
     vectors = embeddings.select("vec_id", enc("embedding").alias("vc")).select(
         "vec_id", F.col("vc.cell").alias("cell"), F.col("vc.codes").alias("codes")
     )
@@ -146,6 +158,7 @@ def write_ann_index(
         "m": m,
         "pq_k": pq_k,
         "dim": int(np.asarray(cents).shape[1]),
+        "residual": bool(residual),
         "batches": [0],
     }
     n_vectors = _read_vectors(embeddings.sparkSession, out_dir, stats).count()
@@ -218,7 +231,7 @@ def append_ann_index(
                 f"append would duplicate vec_id {dup[0]['vec_id']} already in "
                 f"{index_dir}; vec_id spaces must be disjoint"
             )
-    enc = _assign_encode_udf(cents, books)
+    enc = _assign_encode_udf(cents, books, residual=stats["residual"])
     rows = new_embeddings.select("vec_id", enc("embedding").alias("vc")).select(
         "vec_id", F.col("vc.cell").alias("cell"), F.col("vc.codes").alias("codes")
     )
@@ -280,6 +293,12 @@ def merge_ann_indexes(
                 "codes are codebook-relative; re-encode one side "
                 "(write_ann_index with the other's cents/books) first"
             )
+        if s.get("residual") != stats0.get("residual"):
+            raise ValueError(
+                f"cannot merge {index_dirs[0]} with {d}: one stores residual "
+                "codes and the other flat codes — same codebooks decode "
+                "differently under the two schemes; rebuild one side"
+            )
     vecs = None
     for d in index_dirs:
         s = json.loads((Path(d) / "ann_stats.json").read_text())
@@ -334,10 +353,17 @@ def pq_topk_indexed(
     refine: int = 50,
 ) -> DataFrame:
     """ADC top-k over the STORED codes (whole-corpus scan, no coarse
-    pruning): the scan reads (vec_id, codes) rows only; ``embeddings``
-    is touched for the query vector and the ``refine``-row re-rank."""
+    pruning): the scan reads (vec_id, cell, codes) rows only;
+    ``embeddings`` is touched for the query vector and the
+    ``refine``-row re-rank. Residual artifacts anchor the ADC on the
+    stored cell's centroid term (stats.residual drives it)."""
     spark = embeddings.sparkSession
-    _, _, books, vectors = load_ann_index(spark, index_dir)
+    stats, cents, books, vectors = load_ann_index(spark, index_dir)
+    if stats["residual"]:
+        return pq_topk(
+            embeddings, query_vec_id, books, k=k, refine=refine,
+            codes=vectors.select("vec_id", "cell", "codes"), cents=cents,
+        )
     return pq_topk(
         embeddings, query_vec_id, books, k=k, refine=refine,
         codes=vectors.select("vec_id", "codes"),
@@ -358,8 +384,9 @@ def ivf_pq_topk_indexed(
     Result-identical to the self-contained ann.ivf_pq_topk (both gated
     against the same DuckDB replay)."""
     spark = embeddings.sparkSession
-    _, cents, books, vectors = load_ann_index(spark, index_dir)
+    stats, cents, books, vectors = load_ann_index(spark, index_dir)
     return ivf_pq_topk(
         embeddings, query_vec_id, cents, books,
         k=k, n_probe=n_probe, refine=refine, codes=vectors,
+        residual=stats["residual"],
     )

@@ -88,23 +88,40 @@ def test_pq_roundtrip_and_recall(emb):
 
 
 def test_ivf_pq_composition(emb):
-    """IVF+PQ: probing ALL cells degenerates to plain PQ; fewer probes
-    return a subset-quality result with a sane recall floor."""
+    """IVF+PQ: probing ALL cells degenerates to plain PQ (both in flat
+    and in residual mode); fewer probes return a subset-quality result
+    with a sane recall floor."""
     cents = ann.ivf_train(emb, n_cells=8, n_iter=2)
     books = ann.pq_train(emb, m=8, k=16, n_iter=2)
     full = [
         (r["vec_id"], r["cos"])
-        for r in ann.ivf_pq_topk(emb, 0, cents, books, k=10, n_probe=8, refine=50).collect()
+        for r in ann.ivf_pq_topk(
+            emb, 0, cents, books, k=10, n_probe=8, refine=50, residual=False
+        ).collect()
     ]
     pq_only = [
         (r["vec_id"], r["cos"])
         for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()
     ]
     assert full == pq_only  # n_probe == n_cells: coarse stage prunes nothing
+
+    rbooks = ann.pq_train(emb, m=8, k=16, n_iter=2, cents=cents)
+    rfull = [
+        (r["vec_id"], r["cos"])
+        for r in ann.ivf_pq_topk(
+            emb, 0, cents, rbooks, k=10, n_probe=8, refine=50
+        ).collect()
+    ]
+    rpq_only = [
+        (r["vec_id"], r["cos"])
+        for r in ann.pq_topk(emb, 0, rbooks, k=10, refine=50, cents=cents).collect()
+    ]
+    assert rfull == rpq_only
+
     truth = {r["vec_id"] for r in ann.cosine_topk(emb, 0, k=10).collect()}
     probed = {
         r["vec_id"]
-        for r in ann.ivf_pq_topk(emb, 0, cents, books, k=10, n_probe=4, refine=50).collect()
+        for r in ann.ivf_pq_topk(emb, 0, cents, rbooks, k=10, n_probe=4, refine=50).collect()
     }
     assert len(truth & probed) / 10 >= 0.4
 
@@ -122,15 +139,20 @@ def test_ann_index_roundtrip(emb, tmp_path):
     assert stats["n_vectors"] == emb.count() and stats["dim"] == 64
 
     loaded, cents, books, vectors = ann_index.load_ann_index(emb.sparkSession, d)
-    assert loaded == stats
+    assert loaded == stats and stats["residual"] is True
     assert np.array_equal(cents, ann.ivf_train(emb, n_cells=8, n_iter=2))
-    assert np.array_equal(books, ann.pq_train(emb, m=8, k=16, n_iter=2))
+    # default artifact stores RESIDUAL codes: books trained on
+    # v - centroid[cell], encode twin passes the same cents
+    assert np.array_equal(books, ann.pq_train(emb, m=8, k=16, n_iter=2, cents=cents))
 
     stored = {
         r["vec_id"]: (r["cell"], tuple(r["codes"])) for r in vectors.collect()
     }
     assign = {r["vec_id"]: r["cell"] for r in ann.ivf_assign_centroids(emb, cents).collect()}
-    codes = {r["vec_id"]: tuple(r["codes"]) for r in ann.pq_encode(emb, books).collect()}
+    codes = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in ann.pq_encode(emb, books, cents=cents).collect()
+    }
     assert stored == {v: (assign[v], codes[v]) for v in assign}
 
     # the vectors table stores codes only — no float vector column
@@ -156,9 +178,12 @@ def test_ann_index_query_parity(emb, tmp_path):
     d = str(tmp_path / "ann")
     ann_index.write_ann_index(emb, d, n_cells=8, n_iter=2, m=8, pq_k=16)
     cents = ann.ivf_train(emb, n_cells=8, n_iter=2)
-    books = ann.pq_train(emb, m=8, k=16, n_iter=2)
+    books = ann.pq_train(emb, m=8, k=16, n_iter=2, cents=cents)
 
-    want_pq = [tuple(r) for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()]
+    want_pq = [
+        tuple(r)
+        for r in ann.pq_topk(emb, 0, books, k=10, refine=50, cents=cents).collect()
+    ]
     got_pq = [
         tuple(r) for r in ann_index.pq_topk_indexed(emb, d, 0, k=10, refine=50).collect()
     ]
