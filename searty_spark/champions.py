@@ -72,11 +72,29 @@ def segment_fingerprint(segments: DataFrame) -> int:
     stamp over (term, shard, df, cf) alone missed any same-df
     redistribution). Summed in decimal(38,0) (ANSI long sum would
     overflow) and reduced mod 2^64 driver-side."""
-    return _table_fingerprint(
-        segments,
-        ["term", "shard", "df", "cf",
-         "block_last_doc", "block_max_tf", "block_min_dl", "block_offset"],
-    )
+    return _table_fingerprint(segments, _SEGMENT_FP_COLS)
+
+
+_SEGMENT_FP_COLS = [
+    "term", "shard", "df", "cf",
+    "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+]
+_SIDECAR_FP_COLS = ["term", "doc_ids", "tfs", "dls"]
+
+
+def fingerprint_expr(cols: list[str]):
+    """The aggregate expression behind _table_fingerprint, exposed so a
+    job that already scans the rows can compute the fingerprint as an
+    ``observe`` metric instead of paying a second scan (write_index's
+    dictionary stage hosts the segment fingerprint this way; the
+    champions write hosts its own sidecar stamp). Exact integer math
+    (xxhash64 summed in decimal(38,0)), so the observed value equals
+    the standalone recompute bit-for-bit."""
+    return F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("fp")
+
+
+def _fp_mod(raw) -> int:
+    return int(raw or 0) % (1 << 64)
 
 
 def sidecar_fingerprint(champions: DataFrame) -> int:
@@ -84,14 +102,12 @@ def sidecar_fingerprint(champions: DataFrame) -> int:
     segment fingerprint alone would pass a sidecar DIRECTORY copied in
     from another index (the meta file describes the segments, not the
     parquet next to it)."""
-    return _table_fingerprint(champions, ["term", "doc_ids", "tfs", "dls"])
+    return _table_fingerprint(champions, _SIDECAR_FP_COLS)
 
 
 def _table_fingerprint(df: DataFrame, cols: list[str]) -> int:
-    row = df.agg(
-        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("fp")
-    ).collect()[0]
-    return int(row["fp"] or 0) % (1 << 64)
+    row = df.agg(fingerprint_expr(cols)).collect()[0]
+    return _fp_mod(row["fp"])
 
 
 def g_impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
@@ -247,6 +263,7 @@ def write_champions(
     min_df: int | None = None,
     max_terms: int = 1024,
     dictionary: DataFrame | None = None,
+    seg_fp: int | None = None,
 ) -> int:
     """Build + persist the sidecar; returns the number of championed
     terms. ``min_df=None`` -> default_min_df(n_docs). Pass the
@@ -258,7 +275,16 @@ def write_champions(
     parquet the one that was stamped?) — ChampionClient requires both
     to match and degrades to theta0=0 otherwise, so neither a
     segments rewrite nor a sidecar dir copied in from another index
-    can make pruning unsound."""
+    can make pruning unsound.
+
+    Job economy: the sidecar stamp rides the write itself as an
+    ``observe`` metric (no read-back scan), and ``seg_fp`` accepts a
+    segment fingerprint the caller already observed on a job that
+    scanned the rows anyway (write_index's dictionary stage does) —
+    with it, the whole stage is two Spark jobs (heads fetch + skim/
+    write) instead of four."""
+    from pyspark.sql import Observation
+
     if min_df is None:
         min_df = default_min_df(n_docs)
     out = Path(out_dir) / "champions"
@@ -277,19 +303,20 @@ def write_champions(
     conf = segments.sparkSession.conf
     prev_aqe = conf.get("spark.sql.adaptive.enabled")
     prev_sp = conf.get("spark.sql.shuffle.partitions")
+    obs = Observation("sidecar_fp")
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", "8")
-        ch.coalesce(4).write.mode("overwrite").parquet(str(out))
+        ch.observe(obs, fingerprint_expr(_SIDECAR_FP_COLS)).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(str(out))
     finally:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         conf.set("spark.sql.shuffle.partitions", prev_sp)
     meta = {
         "format": CHAMPION_FORMAT,
-        "fingerprint": segment_fingerprint(segments),
-        "sidecar_fingerprint": sidecar_fingerprint(
-            segments.sparkSession.read.parquet(str(out))
-        ),
+        "fingerprint": segment_fingerprint(segments) if seg_fp is None else seg_fp,
+        "sidecar_fingerprint": _fp_mod(obs.get["fp"]),
     }
     (Path(out_dir) / "champions_meta.json").write_text(json.dumps(meta))
     # every head term has >= min_df postings, so each emits exactly one

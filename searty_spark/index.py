@@ -98,6 +98,22 @@ def _commit(out_dir: str, unit: str, **metrics) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
+def _unit_metric(out_dir: str, unit: str, key: str):
+    """A metric a completed unit committed (last record wins), or None
+    — resume's way to reuse e.g. the observed segment fingerprint
+    without re-scanning."""
+    p = _ckpt_path(out_dir)
+    if not p.exists():
+        return None
+    val = None
+    for line in p.read_text().splitlines():
+        if line:
+            rec = json.loads(line)
+            if rec["unit"] == unit and key in rec:
+                val = rec[key]
+    return val
+
+
 def write_index(
     corpus: DataFrame,
     out_dir: str,
@@ -336,18 +352,40 @@ def write_index(
     # the token stream — the second tokenize pass the old design needed is
     # gone entirely.
     done = _done_units(out_dir) if resume else set()
+    seg_fp: int | None = None
     if "dictionary" not in done:
+        from pyspark.sql import Observation
+
+        from searty_spark.champions import (
+            _SEGMENT_FP_COLS,
+            _fp_mod,
+            fingerprint_expr,
+        )
+
         t0 = time.perf_counter()
+        # observe metrics ride the single dictionary job: the SEGMENT
+        # fingerprint (stage 4's sidecar stamp — this job scans every
+        # segment row anyway) on the pre-agg rows, the term count on
+        # the post-agg rows. No read-back job, no second segment scan.
+        obs_fp = Observation("segment_fp")
+        obs_n = Observation("dict_rows")
         d = (
             load_segments(spark, out_dir)
+            .observe(obs_fp, fingerprint_expr(_SEGMENT_FP_COLS))
             .groupBy("term")
             .agg(F.sum("df").cast("long").alias("df_global"))
             .select("term", F.xxhash64("term").alias("token_id"), "df_global")
+            .observe(obs_n, F.count(F.lit(1)).alias("n"))
         )
         d.write.mode("overwrite").parquet(str(out / "dictionary"))
         wall = time.perf_counter() - t0
-        n_terms = spark.read.parquet(str(out / "dictionary")).count()
-        _commit(out_dir, "dictionary", wall_sec=wall, rows=n_terms)
+        seg_fp = _fp_mod(obs_fp.get["fp"])
+        _commit(
+            out_dir, "dictionary",
+            wall_sec=wall, rows=int(obs_n.get["n"]), segment_fp=seg_fp,
+        )
+    elif resume:
+        seg_fp = _unit_metric(out_dir, "dictionary", "segment_fp")
 
     # --- stage 4: champion lists, DERIVED like the dictionary ------------
     # per-head-term top-B postings by impact (stats-free: (doc, tf, dl)
@@ -362,6 +400,7 @@ def write_index(
         n_ch = write_champions(
             load_segments(spark, out_dir), out_dir, stats["n_docs"], stats["avgdl"],
             dictionary=spark.read.parquet(str(out / "dictionary")),
+            seg_fp=seg_fp,
         )
         _commit(out_dir, "champions", wall_sec=time.perf_counter() - t0, rows=n_ch)
     return {"stats": stats, "units": metrics}

@@ -176,6 +176,17 @@ def test_write_index_emits_champions_and_query_identity(
     ).collect()]
     assert got == want
 
+    # the stamps write_index/write_champions left via observe metrics
+    # (ridden on the dictionary job / the sidecar write — no dedicated
+    # scan jobs) must equal the standalone from-disk recompute exactly
+    from searty_spark.champions import segment_fingerprint, sidecar_fingerprint
+
+    meta = json.loads((Path(d) / "champions_meta.json").read_text())
+    assert meta["fingerprint"] == segment_fingerprint(load_segments(spark, d))
+    assert meta["sidecar_fingerprint"] == sidecar_fingerprint(
+        spark.read.parquet(f"{d}/champions")
+    )
+
 
 def test_stale_sidecar_degrades_to_no_pruning(spark, small_corpus, tmp_path):
     """theta0 soundness requires champion rows to be postings of the
