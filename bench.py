@@ -274,6 +274,22 @@ def main():
     }
     extra["pq_recall_at_10_refine200"] = round(len(truth & approx_pq200) / 10, 3)
 
+    # residual IVF-PQ (the production default since r6): books trained
+    # on v - centroid[cell], ADC anchored on the exact centroid term
+    rbooks = ann.pq_train(emb, m=8, k=16, n_iter=2, cents=cents)
+    approx_rpq = {
+        r["vec_id"]
+        for r in ann.pq_topk(emb, 0, rbooks, k=10, refine=50, cents=cents).collect()
+    }
+    extra["pq_residual_recall_at_10"] = round(len(truth & approx_rpq) / 10, 3)
+    approx_rpq200 = {
+        r["vec_id"]
+        for r in ann.pq_topk(emb, 0, rbooks, k=10, refine=200, cents=cents).collect()
+    }
+    extra["pq_residual_recall_at_10_refine200"] = round(
+        len(truth & approx_rpq200) / 10, 3
+    )
+
     # --- stored-artifact ANN vs per-query recompute ----------------------
     # build once (write_ann_index), then the query scans m-byte code rows
     # with the probe as a partition filter; the recompute twin re-encodes
@@ -327,20 +343,24 @@ def main():
 
     from searty_spark.wand import wand_topk_batch
 
+    # the serve `:batch` shape: pre-partitioned cached segments, one
+    # scan+decode shared by the whole request array — its qps is the
+    # direct comparison against concurrent_qps (one job per request)
     qmap = {f"q{i}": q for i, q in enumerate(conc_queries)}
     batch_terms = sorted({t for q in conc_queries for t in tokenize(q)})
     df_map = dic.lookup(batch_terms)
     wand_topk_batch(  # warmup
         seg, qmap, k=10, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
-        n_shards=N_SHARDS, df_lookup=df_map,
+        n_shards=N_SHARDS, df_lookup=df_map, pre_partitioned=True,
     ).collect()
     t, _ = timed(
         lambda: wand_topk_batch(
             seg, qmap, k=10, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
-            n_shards=N_SHARDS, df_lookup=df_map,
+            n_shards=N_SHARDS, df_lookup=df_map, pre_partitioned=True,
         ).collect()
     )
     extra["batch_wall_8q"] = round(t, 4)
+    extra["batch_qps_8q"] = round(len(conc_queries) / t, 2)
 
     total = round(sum(results.values()), 4)
     out = {

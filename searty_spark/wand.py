@@ -471,13 +471,20 @@ def wand_topk_batch(
     avgdl: float | None = None,
     n_shards: int | None = None,
     df_lookup=None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id, score) — exact top-k for MANY queries in ONE
     segment scan. Each term's blocks decode once per shard and are
     shared by every query that uses the term; the global per-query
     top-k is a window row_number (partitioned by query, so no global
     sort). This is the batch-evaluation shape: at 10^12 docs the scan
-    dominates, and it amortizes across the whole query set."""
+    dominates, and it amortizes across the whole query set.
+
+    ``pre_partitioned=True`` skips the repartition — the same warm-
+    server contract as wand_topk: the caller guarantees no shard's rows
+    are split across partitions (the cached shard-partitioned segments
+    of cli._warm_server). Whole shards sharing a partition is fine:
+    the kernel keys its state by shard."""
     from pyspark.sql import Window
 
     spark = segments.sparkSession
@@ -518,9 +525,14 @@ def wand_topk_batch(
                 frame.insert(0, "query_id", qid)
                 yield frame
 
-    rep = (
-        pruned.repartition(n_shards, "shard") if n_shards else pruned.repartition("shard")
-    )
+    if pre_partitioned:
+        rep = pruned
+    else:
+        rep = (
+            pruned.repartition(n_shards, "shard")
+            if n_shards
+            else pruned.repartition("shard")
+        )
     local = rep.mapInPandas(run, "query_id string, doc_id long, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

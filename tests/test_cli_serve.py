@@ -50,6 +50,24 @@ def test_serve_loop_contract(spark, small_corpus, tmp_path, monkeypatch, capsys)
     # :quit stopped the loop before the trailing line
     assert len(lines) == 5
 
+    # :batch answers many BM25 queries in ONE segment scan; results
+    # must equal the sequential per-query answers, aligned with the
+    # request array (including a no-hit query -> empty list)
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(
+            'shared\nmodule\nquery\n:batch ["shared", "module", "query", "@@"]\n:quit\n'
+        ),
+    )
+    cli.cmd_serve(argparse.Namespace(cpus=4, index=d, k=5))
+    blines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    seq = blines[1:4]
+    batch = blines[4]
+    assert batch["mode"] == "batch"
+    for i in range(3):
+        assert batch["results"][i] == seq[i]["results"]
+    assert batch["results"][3] == []  # "@@" yields no trigram at all
+
     # a malformed regex raises re.error / Py4JJavaError, NOT ValueError
     # — the server must still answer that seq with an error line (and
     # with --threads the worker must not die silently)
