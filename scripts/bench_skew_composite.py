@@ -12,7 +12,9 @@ distribution —
 - the rest unique.
 
 Templates are sampled from the synthetic corpus itself so the cluster
-mass SURVIVES the quality gate and actually reaches the dedup window
+mass SURVIVES the quality gate (run with min_stopword_ratio=0.0 — the
+synthetic vocabulary has no English stopwords, the documented
+non-prose recalibration path of pipeline.prepare_training_corpus) and actually reaches the dedup window
 (a failing template would be dropped in stage 1 and stress nothing).
 
 Interleaved uniform/skew repeats (VM wall noise, CLAUDE.md), medians,
@@ -56,7 +58,7 @@ def gen(spark, n_docs: int, skew: bool, path: str, bench_path: str) -> None:
         # reach the dedup window and stress nothing
         head = df.filter(F.col("doc_id") < 2000)
         ok = (
-            quality_gopher(head)
+            quality_gopher(head, min_stopword_ratio=0.0)
             .filter("gopher_pass")
             .join(
                 ngram_contamination(
@@ -103,7 +105,7 @@ def run_once(spark, corpus: str, bench_path: str) -> dict:
     walls = {}
 
     t0 = time.perf_counter()
-    quality_gopher(docs).filter("gopher_pass").count()
+    quality_gopher(docs, min_stopword_ratio=0.0).filter("gopher_pass").count()
     walls["quality"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
@@ -115,7 +117,9 @@ def run_once(spark, corpus: str, bench_path: str) -> dict:
     walls["redaction"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
-    n_out = prepare_training_corpus(docs, bench=bench).count()
+    n_out = prepare_training_corpus(
+        docs, bench=bench, min_stopword_ratio=0.0
+    ).count()
     walls["composite"] = round(time.perf_counter() - t0, 1)
     walls["survivors"] = n_out
     return walls
@@ -174,7 +178,7 @@ def main():
 
     docs = spark.read.parquet(paths["skew"])
     bench = spark.read.parquet(bench_path)
-    out = prepare_training_corpus(docs, bench=bench)
+    out = prepare_training_corpus(docs, bench=bench, min_stopword_ratio=0.0)
     tmpl_doc = docs.filter(F.pmod("doc_id", F.lit(10)) == 0)
     surv_tmpl = out.join(
         tmpl_doc.select("doc_id"), "doc_id", "left_semi"

@@ -382,10 +382,40 @@ def dup_clusters(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFra
     """(doc_id, cluster_id) — near-duplicate clusters: connected
     components over the MinHash-LSH verified pair graph, labeled by
     the cluster's minimum doc_id. Docs with no near-duplicate don't
-    appear (singleton clusters are implicit)."""
-    pairs = minhash_lsh_pairs(docs, threshold=threshold, k=k)
+    appear (singleton clusters are implicit).
+
+    Exact duplicates are collapsed BEFORE banding: LSH pairs are
+    generated over one representative (the lowest doc_id) per distinct
+    text, and the other members attach to their representative by an
+    implicit (member, rep) edge. Web-crawl duplicate mass is dominated
+    by exact template copies — a 10%-of-corpus identical cluster would
+    otherwise collide in EVERY band and emit O(cluster²) candidate
+    pairs (5·10⁹ pairs at 1M docs) where the collapsed plan emits the
+    cluster's members once each. Output-identical to the uncollapsed
+    formulation: identical texts share every band key and verify at
+    jaccard 1.0, so they always land in one component with the same
+    minimum label; the (member, rep) edges are added only for groups
+    whose text carries at least one shingle (>= k words), matching the
+    uncollapsed behavior where shingle-less docs never pair."""
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_dup")
+    )
+    membership = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (F.size(F.split(F.col("text"), " ")) >= k).alias("shingled"),
+    ).join(groups, "h")
+    reps = docs.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    pairs = minhash_lsh_pairs(reps, threshold=threshold, k=k).select(
+        "doc_a", "doc_b"
+    )
+    group_edges = membership.filter(
+        (F.col("n_dup") >= 2) & F.col("shingled") & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     return (
-        connected_components(pairs.select("doc_a", "doc_b"))
+        connected_components(pairs.union(group_edges))
         .select(F.col("node").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )

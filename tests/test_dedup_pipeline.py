@@ -80,3 +80,29 @@ def test_sample_corpus_partitioning_invariant(spark, small_corpus):
     b = [r["doc_id"] for r in sample_corpus(small_corpus.repartition(13), 20).collect()]
     c = [r["doc_id"] for r in sample_corpus(small_corpus.coalesce(1), 20).collect()]
     assert a == b == c and 0 < len(a) < small_corpus.count()
+
+
+def test_dup_clusters_exact_collapse_semantics(spark):
+    """Exact duplicates collapse to one LSH representative; output must
+    equal the uncollapsed formulation: identical shingled docs cluster
+    with the group min, shingle-less identical docs never appear, and
+    a group whose rep near-dups another text merges transitively."""
+    from searty_spark.dedup import dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = (
+        # identical cluster 10..14 (shingled)
+        [(i, base) for i in range(10, 15)]
+        # near-dup of the template under id 20 (one word changed)
+        + [(20, base.replace("theta", "iota"))]
+        # unique doc
+        + [(30, "one completely different text about unrelated things")]
+        # identical SHORT docs (< 3 words -> no shingles): never pair
+        + [(40, "tiny doc"), (41, "tiny doc")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(docs, threshold=0.4).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 10}

@@ -72,6 +72,28 @@ def test_build_query_resume_and_merge(spark, corpus, oracle_idx, tmp_path_factor
     assert units2.count("segments/shards=1-1") == 1 and len(units2) == len(units)
     assert _index_content(spark, full_dir) == before  # byte-identical blobs
 
+    # --- resume: champions re-derived from the checkpointed fingerprint --
+    # (the segment fp was observed on the dictionary job; a resumed
+    # process must reuse it — and the reused stamp must still equal the
+    # from-disk recompute, or ChampionClient would silently degrade)
+    import shutil as _sh
+
+    from searty_spark.champions import ChampionClient, segment_fingerprint
+    from searty_spark.index import load_segments
+
+    _sh.rmtree(Path(full_dir) / "champions")
+    (Path(full_dir) / "champions_meta.json").unlink()
+    kept = [
+        x for x in ckpt.read_text().splitlines()
+        if json.loads(x)["unit"] != "champions"
+    ]
+    ckpt.write_text("\n".join(kept) + "\n")
+    write_index(corpus, full_dir, n_shards=3, n_buckets=8, resume=True, shard_batch=1)
+    meta = json.loads((Path(full_dir) / "champions_meta.json").read_text())
+    assert meta["fingerprint"] == segment_fingerprint(load_segments(spark, full_dir))
+    assert not ChampionClient(spark, full_dir).stale
+    assert _index_content(spark, full_dir) == before
+
     # --- merge: two disjoint halves == single-shot ------------------------
     a = corpus.filter(F.col("doc_id") < N_DOCS // 2)
     b = corpus.filter(F.col("doc_id") >= N_DOCS // 2)
