@@ -579,9 +579,12 @@ def _ann_index_dir(spark, sf) -> str:
     tag = f"c{IVF_CELLS}i{IVF_ITER}m{PQ_M}k{PQ_K}"
     d = Path(tempfile.gettempdir()) / f"searty_ann_gate_{Path(sf).name}_{tag}"
     stats_p = d / "ann_stats.json"
-    fresh = stats_p.exists() and (
-        json.loads(stats_p.read_text()).get("format") == ann_index.ANN_FORMAT
-    )
+    fresh = False
+    if stats_p.exists():
+        try:
+            fresh = json.loads(stats_p.read_text()).get("format") == ann_index.ANN_FORMAT
+        except ValueError:
+            fresh = False  # truncated/corrupt leftover: rebuild, don't crash
     if not fresh:  # absent OR a stale-format leftover from a prior build
         ann_index.write_ann_index(
             _emb(spark, sf), str(d), n_cells=IVF_CELLS, n_iter=IVF_ITER,

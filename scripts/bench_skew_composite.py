@@ -137,7 +137,7 @@ def main():
 
     from pyspark.sql import functions as F
 
-    bench_path = str(WORK / "bench.parquet")
+    bench_path = str(WORK / f"bench_{N_BENCH}.parquet")
     if not Path(bench_path).exists():
         # different seed -> different texts than the corpus; ids shifted
         # out of the corpus id space
@@ -147,7 +147,7 @@ def main():
 
     paths = {}
     for label, skew in (("uniform", False), ("skew", True)):
-        p = str(WORK / f"corpus_{label}.parquet")
+        p = str(WORK / f"corpus_{label}_{n_docs}.parquet")
         gen(spark, n_docs, skew, p, bench_path)
         paths[label] = p
 

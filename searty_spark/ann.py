@@ -495,7 +495,7 @@ def ivf_pq_topk(
     refine: int = 50,
     assign: DataFrame | None = None,
     codes: DataFrame | None = None,
-    residual: bool = True,
+    residual: bool = False,
 ) -> DataFrame:
     """The full FAISS-style IVF+PQ architecture: probe the ``n_probe``
     trained-IVF cells nearest the query, ADC-scan ONLY those cells'
@@ -504,12 +504,17 @@ def ivf_pq_topk(
     prunes the scan to n_probe/n_cells of the data and the PQ codes
     make what remains a table-lookup scan over m-byte rows.
 
-    ``residual=True`` (the default, and the actual FAISS IVF-PQ shape)
-    expects ``books`` trained on residuals (pq_train(cents=cents)) and
-    codes encoded likewise; the ADC estimate then anchors on the exact
-    <q, centroid> term — measured +0.2 recall@10 on the adversarial
-    near-uniform set at identical query cost (BENCH/pq_recall.json).
-    Pass residual=False to query flat-encoded codes.
+    ``residual=True`` (the actual FAISS IVF-PQ shape, and what the
+    persisted artifact stores by default) expects ``books`` trained on
+    residuals (pq_train(cents=cents)) and codes encoded likewise; the
+    ADC estimate then anchors on the exact <q, centroid> term —
+    measured +0.2 recall@10 on the adversarial near-uniform set at
+    identical query cost (BENCH/pq_recall.json). The flag MUST match
+    how ``books`` were trained — codebook arrays carry no scheme tag,
+    so a mismatch silently degrades scores rather than erroring; that
+    is why this raw function defaults to the legacy flat scheme and
+    the artifact path (ann_index) drives it from the persisted
+    stats.residual instead of a guess.
 
     ``assign`` (vec_id, cell) and ``codes`` (vec_id, codes) supply the
     PERSISTED build artifacts (ann_index.write_ann_index); when the two

@@ -121,6 +121,7 @@ def write_ann_index(
     cents: np.ndarray | None = None,
     books: np.ndarray | None = None,
     residual: bool = True,
+    batch_tag: str | None = None,
 ) -> dict:
     """Train (bounded driver-side sample) + one distributed
     assign/encode pass + partitioned write. Returns the stats dict.
@@ -160,6 +161,9 @@ def write_ann_index(
         "dim": int(np.asarray(cents).shape[1]),
         "residual": bool(residual),
         "batches": [0],
+        # idempotence marker for checkpoint-replayed bootstrap batches
+        # (see append_ann_index's batch_tag)
+        "batch_tags": {} if batch_tag is None else {batch_tag: 0},
     }
     n_vectors = _read_vectors(embeddings.sparkSession, out_dir, stats).count()
     stats["n_vectors"] = int(n_vectors)
@@ -173,6 +177,7 @@ def append_ann_index(
     new_embeddings: DataFrame,
     index_dir: str,
     check_disjoint: bool = True,
+    batch_tag: str | None = None,
 ) -> dict:
     """Incremental ingest (VERDICT r4 task 4): encode a new embedding
     batch under the index's FROZEN codebooks and append its rows to the
@@ -197,16 +202,26 @@ def append_ann_index(
     Crash safety: rows land in a FRESH batch directory
     (``vectors/batch=<max+1>``, mode overwrite) and become visible only
     when the manifest in ann_stats.json is atomically replaced. A crash
-    before the commit leaves an orphan dir no reader lists; the replay
+    BEFORE the commit leaves an orphan dir no reader lists; the replay
     of that batch (same max+1 id — the manifest never advanced)
-    overwrites the orphan and commits. No partial state is observable,
-    so there is no repair procedure to document.
+    overwrites the orphan and commits. For a crash AFTER the commit
+    but before the CALLER's own checkpoint commits (the Structured
+    Streaming window: foreachBatch ran, the sink's commit-log entry
+    didn't), pass a stable ``batch_tag`` (incremental_ann_stream uses
+    the epoch id): a tag already in the manifest makes the replay a
+    NO-OP instead of a duplicate-vec_id fail-fast, so both halves of
+    the replay window are idempotent. Without a tag, the post-commit
+    replay correctly refuses (the rows ARE committed) — callers
+    without their own checkpointing see the error, not silent
+    duplication.
 
     Reference shape: build-once/query-many + incremental merge,
     ref lib/indexer/merge.go:455-502 — re-expressed as a partitioned-
     table append instead of a posting-list rewrite."""
     spark = new_embeddings.sparkSession
     stats, cents, books, vectors = load_ann_index(spark, index_dir)
+    if batch_tag is not None and batch_tag in stats.get("batch_tags", {}):
+        return stats  # this batch already committed: replay is a no-op
     # count once up front: it doubles as the WITHIN-batch duplicate
     # check (distinct vs total) and the n_vectors increment after the
     # write — both scale with the batch, never the stored corpus
@@ -242,6 +257,8 @@ def append_ann_index(
     )
     stats["batches"] = stats["batches"] + [bid]
     stats["n_vectors"] = int(stats["n_vectors"]) + n_new
+    if batch_tag is not None:
+        stats["batch_tags"] = {**stats.get("batch_tags", {}), batch_tag: bid}
     _write_stats(out, stats)
     return stats
 

@@ -40,11 +40,19 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def has_shingles_col(k: int = 3):
+    """True iff word_shingles would emit >= 1 shingle for this row —
+    THE shared definition: dup_clusters' implicit exact-dup edges must
+    use exactly the condition under which the LSH universe contains
+    the doc, or the collapsed and uncollapsed formulations diverge."""
+    return F.size(F.split(F.col("text"), " ")) >= k
+
+
 def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word k-grams — pure SQL."""
     toks = F.split(F.col("text"), " ")
     sh = F.when(
-        F.size(toks) >= k,
+        has_shingles_col(k),
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - k),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
@@ -335,37 +343,46 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Each round is two shuffle aggregations + joins over the EDGE set
     (not the corpus): at 100 TB the candidate-pair graph is orders of
     magnitude smaller than the corpus. Convergence is detected by the
-    star-forest property (no dst ever reappears as a src), a single
-    semi-join emptiness probe — at that fixpoint every edge is
-    (node, component_min) because both operators only ever emit edges
-    pointing at the running minimum.
+    FULL star-forest property — (a) no dst ever reappears as a src AND
+    (b) every src has exactly one dst. Both probes are required: a
+    tree with two local minima passes (a) alone mid-contraction while
+    a node still holds two parents, and returning there would split
+    one component into two clusters (regression-tested). Both
+    operators preserve the graph's component partition and only emit
+    larger→smaller edges, so at a star forest every center is its
+    component's minimum.
     """
-    edges0 = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # localCheckpoint (not cache) each round: iterative DataFrame
     # algorithms otherwise nest every prior round's plan inside the
     # next one — lineage grows exponentially and the driver OOMs just
-    # printing the tree by ~10 iterations
-    nodes = (
-        edges0.select(F.col("src").alias("node"))
-        .union(edges0.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    edges = (
-        edges0.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
+    # printing the tree by ~10 iterations. The INPUT lineage (at 100 TB
+    # the whole LSH candidate pipeline) is checkpointed ONCE, before
+    # anything else forks off it — nodes and the oriented edge set both
+    # derive from the materialized table, never from the raw plan.
+    base = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    nodes = (
+        base.select(F.col("src").alias("node"))
+        .union(base.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = base.filter(F.col("src") != F.col("dst"))
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        is_star = edges.join(
+        single_parent = (
+            edges.groupBy("src").agg(F.count("*").alias("n")).filter("n > 1").isEmpty()
+        )
+        no_chain = edges.join(
             edges.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
         ).isEmpty()
-        if is_star:
+        if single_parent and no_chain:
             non_roots = edges.select(
                 F.col("src").alias("node"), F.col("dst").alias("cluster_id")
             )
@@ -403,7 +420,7 @@ def dup_clusters(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFra
     membership = docs.select(
         "doc_id",
         F.md5("text").alias("h"),
-        (F.size(F.split(F.col("text"), " ")) >= k).alias("shingled"),
+        has_shingles_col(k).alias("shingled"),
     ).join(groups, "h")
     reps = docs.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"

@@ -313,13 +313,25 @@ def incremental_ann_stream(
     def per_batch(df: DataFrame, epoch_id: int) -> None:
         if df.isEmpty():
             return
+        # the epoch id is stable across checkpoint replays, so tagging
+        # each batch makes BOTH halves of the crash window idempotent:
+        # crash before the manifest commit -> the replay overwrites the
+        # orphan dir; crash after the commit but before the stream's
+        # checkpoint commit -> the tag is already in the manifest and
+        # the replay is a no-op (no duplicate-vec_id fail-fast wedge)
+        tag = f"epoch-{epoch_id}"
         if not Path(index_dir, "ann_stats.json").exists():
             write_ann_index(
                 df, index_dir, n_cells=n_cells, n_iter=n_iter,
-                sample=sample, m=m, pq_k=pq_k,
+                sample=sample, m=m, pq_k=pq_k, batch_tag=tag,
             )
         else:
-            append_ann_index(df, index_dir)
+            import json as _json
+
+            stats = _json.loads(Path(index_dir, "ann_stats.json").read_text())
+            if tag in stats.get("batch_tags", {}):
+                return  # replay of a committed batch (incl. bootstrap)
+            append_ann_index(df, index_dir, batch_tag=tag)
 
     q = (
         spark.readStream.schema(EMBEDDINGS)

@@ -109,7 +109,7 @@ def test_ivf_pq_composition(emb):
     rfull = [
         (r["vec_id"], r["cos"])
         for r in ann.ivf_pq_topk(
-            emb, 0, cents, rbooks, k=10, n_probe=8, refine=50
+            emb, 0, cents, rbooks, k=10, n_probe=8, refine=50, residual=True
         ).collect()
     ]
     rpq_only = [
@@ -121,7 +121,9 @@ def test_ivf_pq_composition(emb):
     truth = {r["vec_id"] for r in ann.cosine_topk(emb, 0, k=10).collect()}
     probed = {
         r["vec_id"]
-        for r in ann.ivf_pq_topk(emb, 0, cents, rbooks, k=10, n_probe=4, refine=50).collect()
+        for r in ann.ivf_pq_topk(
+            emb, 0, cents, rbooks, k=10, n_probe=4, refine=50, residual=True
+        ).collect()
     }
     assert len(truth & probed) / 10 >= 0.4
 
@@ -191,7 +193,9 @@ def test_ann_index_query_parity(emb, tmp_path):
 
     want = [
         tuple(r)
-        for r in ann.ivf_pq_topk(emb, 0, cents, books, k=10, n_probe=2, refine=50).collect()
+        for r in ann.ivf_pq_topk(
+            emb, 0, cents, books, k=10, n_probe=2, refine=50, residual=True
+        ).collect()
     ]
     stored_q = ann_index.ivf_pq_topk_indexed(emb, d, 0, k=10, n_probe=2, refine=50)
     assert [tuple(r) for r in stored_q.collect()] == want
@@ -258,7 +262,7 @@ def test_ann_append_equals_rebuild_and_merge(emb, tmp_path):
     want = [
         tuple(r)
         for r in ann.ivf_pq_topk(
-            emb, 0, cents, books, k=10, n_probe=2, refine=50
+            emb, 0, cents, books, k=10, n_probe=2, refine=50, residual=True
         ).collect()
     ]
     assert got == want
@@ -326,9 +330,18 @@ def test_ann_append_crash_replay_and_self_merge_guard(emb, tmp_path):
 
     # the replayed append does NOT false-positive on duplicate vec_ids,
     # overwrites the orphan dir, and commits
-    stats = ann_index.append_ann_index(new, d)
+    stats = ann_index.append_ann_index(new, d, batch_tag="epoch-1")
     assert stats["batches"] == [0, 1] and stats["n_vectors"] == emb.count()
     assert ann_index.load_ann_index(spark, d)[3].count() == emb.count()
+
+    # the OTHER half of the replay window — crash AFTER the manifest
+    # commit but before the caller's checkpoint commit: replaying the
+    # same tagged batch is a no-op, not a duplicate-vec_id wedge
+    stats2 = ann_index.append_ann_index(new, d, batch_tag="epoch-1")
+    assert stats2["batches"] == [0, 1] and stats2["n_vectors"] == emb.count()
+    # an UNtagged replay of committed rows still correctly refuses
+    with pytest.raises(ValueError, match="vec_id"):
+        ann_index.append_ann_index(new, d)
 
     # self-merge guard: fail fast, input untouched
     with pytest.raises(ValueError, match="onto itself"):

@@ -43,6 +43,17 @@ def test_components_deep_chain_logarithmic(spark):
     assert got.count() == n + 1
 
 
+def test_components_two_local_minima_tree(spark):
+    """Regression: a tree with TWO local minima (1 and 2) passes the
+    no-dst-is-a-src probe mid-contraction while node 3 still holds two
+    parents — an early return there split the component into clusters
+    {1,3,5,7} and {2,3,6,8} and emitted node 3 twice. The full
+    star-forest check (single parent per src) must hold out for the
+    merge."""
+    got = _cc(spark, [(3, 7), (3, 8), (5, 7), (1, 5), (6, 8), (2, 6)])
+    assert got == {n: 1 for n in (1, 2, 3, 5, 6, 7, 8)}
+
+
 def test_components_raises_when_not_converged(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="converge"):

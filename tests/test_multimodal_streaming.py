@@ -284,7 +284,7 @@ def test_streaming_ann_ingest_equals_batch_encode(spark, tmp_path):
     want = [
         tuple(r)
         for r in ann.ivf_pq_topk(
-            emb, 0, cents, books, k=10, n_probe=2, refine=50
+            emb, 0, cents, books, k=10, n_probe=2, refine=50, residual=True
         ).collect()
     ]
     assert got == want
