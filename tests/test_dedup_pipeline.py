@@ -54,6 +54,38 @@ def test_components_two_local_minima_tree(spark):
     assert got == {n: 1 for n in (1, 2, 3, 5, 6, 7, 8)}
 
 
+def test_components_random_graphs_match_union_find(spark):
+    """Property net for the convergence-check bug class: on random
+    graphs the star-contraction output must equal a brute-force
+    union-find (same node set, same min-label clusters)."""
+    import random
+
+    for seed in (1, 7, 42, 1234, 99999):
+        rng = random.Random(seed)
+        n = rng.randrange(10, 60)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 80))
+        ]
+        pairs = [p for p in pairs if p[0] != p[1]] or [(0, 1)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for p in pairs for x in p}
+        want = {x: find(x) for x in sorted(nodes)}
+        got = _cc(spark, [(int(a), int(b)) for a, b in pairs])
+        assert got == want, (seed, pairs)
+
+
 def test_components_raises_when_not_converged(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="converge"):
