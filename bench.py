@@ -254,41 +254,35 @@ def main():
     results["ann_dup_lsh"] = round(t, 4)
     extra["ann_dup_lsh_pairs"] = n_lsh
 
-    # --- trained-IVF recall@10 vs brute force ----------------------------
+    # --- ANN recall@10 vs brute force (5-query means) --------------------
+    # single-query recall has 0.1 granularity and swings +-0.2 on fixture
+    # luck — a 5-query mean keeps the extras comparable to the 20-query
+    # sweep in BENCH/pq_recall.json at a fraction of its cost
+    recall_qids = [0, 400, 800, 1200, 1600]
     cents = ann.ivf_train(emb, n_cells=32, n_iter=2)
-    truth = {r["vec_id"] for r in ann.cosine_topk(emb, 0, k=10).collect()}
-    approx = {
-        r["vec_id"]
-        for r in ann.ivf_topk_trained(emb, 0, cents, k=10, n_probe=4).collect()
-    }
-    extra["ivf_recall_at_10"] = round(len(truth & approx) / 10, 3)
-
-    # --- PQ (ADC + exact refine) recall@10 vs brute force ----------------
     books = ann.pq_train(emb, m=8, k=16, n_iter=2)
-    approx_pq = {
-        r["vec_id"] for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()
-    }
-    extra["pq_recall_at_10"] = round(len(truth & approx_pq) / 10, 3)
-    approx_pq200 = {
-        r["vec_id"] for r in ann.pq_topk(emb, 0, books, k=10, refine=200).collect()
-    }
-    extra["pq_recall_at_10_refine200"] = round(len(truth & approx_pq200) / 10, 3)
-
     # residual IVF-PQ (the production default since r6): books trained
     # on v - centroid[cell], ADC anchored on the exact centroid term
     rbooks = ann.pq_train(emb, m=8, k=16, n_iter=2, cents=cents)
-    approx_rpq = {
-        r["vec_id"]
-        for r in ann.pq_topk(emb, 0, rbooks, k=10, refine=50, cents=cents).collect()
-    }
-    extra["pq_residual_recall_at_10"] = round(len(truth & approx_rpq) / 10, 3)
-    approx_rpq200 = {
-        r["vec_id"]
-        for r in ann.pq_topk(emb, 0, rbooks, k=10, refine=200, cents=cents).collect()
-    }
-    extra["pq_residual_recall_at_10_refine200"] = round(
-        len(truth & approx_rpq200) / 10, 3
-    )
+    recall_sums: dict[str, float] = {}
+    for qid in recall_qids:
+        truth = {r["vec_id"] for r in ann.cosine_topk(emb, qid, k=10).collect()}
+        variants = {
+            "ivf_recall_at_10": ann.ivf_topk_trained(emb, qid, cents, k=10, n_probe=4),
+            "pq_recall_at_10": ann.pq_topk(emb, qid, books, k=10, refine=50),
+            "pq_recall_at_10_refine200": ann.pq_topk(emb, qid, books, k=10, refine=200),
+            "pq_residual_recall_at_10": ann.pq_topk(
+                emb, qid, rbooks, k=10, refine=50, cents=cents
+            ),
+            "pq_residual_recall_at_10_refine200": ann.pq_topk(
+                emb, qid, rbooks, k=10, refine=200, cents=cents
+            ),
+        }
+        for name, df in variants.items():
+            approx = {r["vec_id"] for r in df.collect()}
+            recall_sums[name] = recall_sums.get(name, 0.0) + len(truth & approx) / 10
+    for name, s in recall_sums.items():
+        extra[name] = round(s / len(recall_qids), 3)
 
     # --- stored-artifact ANN vs per-query recompute ----------------------
     # build once (write_ann_index), then the query scans m-byte code rows
@@ -305,11 +299,10 @@ def main():
         lambda: ivf_pq_topk_indexed(emb, ann_dir, 0, k=10, n_probe=4, refine=50).collect()
     )
     extra["ann_ivfpq_stored"] = round(t, 4)
-    cents32 = ann.ivf_train(emb, n_cells=32, n_iter=2)
-    ann.ivf_pq_topk(emb, 0, cents32, books, k=10, n_probe=4, refine=50).collect()  # warm
+    ann.ivf_pq_topk(emb, 0, cents, books, k=10, n_probe=4, refine=50).collect()  # warm
     t, _ = timed(
         lambda: ann.ivf_pq_topk(
-            emb, 0, cents32, books, k=10, n_probe=4, refine=50
+            emb, 0, cents, books, k=10, n_probe=4, refine=50
         ).collect()
     )
     extra["ann_ivfpq_recompute"] = round(t, 4)

@@ -308,10 +308,17 @@ def pq_train(
     ``cents`` switches to RESIDUAL training — the FAISS IVF-PQ shape:
     each sample vector is assigned to its nearest IVF centroid (same
     rounded argmax as ivf_assign_centroids) and the codebooks learn
-    v - centroid[cell] instead of v. Residuals carry far less energy
-    per quantized bit, which is what lifts adversarial recall@10 from
-    0.72 to 0.91 at refine=100 on the near-uniform sweep set
-    (BENCH/pq_recall.json) with zero change to query cost."""
+    v - centroid[cell] instead of v, at zero change to query cost.
+    Residual encoding helps exactly when the data clusters (the shape
+    real text embeddings have): residuals then carry less energy per
+    quantized bit — on the clustered sweep fixture it lifts recall@10
+    at refine=100 from 0.82 to 0.90 (BENCH/pq_recall.json). On
+    near-uniform directions there is no cluster structure for the
+    coarse quantizer to remove and residual slightly UNDERPERFORMS
+    flat; the lever that moves recall there is ``m`` (more, finer
+    subspaces: m=16 flat reads 0.94 at refine=200 where m=8 reads
+    0.74) and refine depth. Measured with strided query sampling —
+    the earlier first-N sample overstated residual recall by +0.28."""
     rows = (
         embeddings.orderBy("vec_id").limit(sample).select("vec_id", "embedding").collect()
     )
@@ -507,9 +514,12 @@ def ivf_pq_topk(
     ``residual=True`` (the actual FAISS IVF-PQ shape, and what the
     persisted artifact stores by default) expects ``books`` trained on
     residuals (pq_train(cents=cents)) and codes encoded likewise; the
-    ADC estimate then anchors on the exact <q, centroid> term —
-    measured +0.2 recall@10 on the adversarial near-uniform set at
-    identical query cost (BENCH/pq_recall.json). The flag MUST match
+    ADC estimate then anchors on the exact <q, centroid> term — a
+    recall win exactly when the data clusters (the realistic embedding
+    shape: +0.07..0.13 recall@10 at refine<=100 on the clustered sweep
+    fixture) at identical query cost; on near-uniform directions it
+    slightly trails flat and the lever is ``m``/refine instead
+    (BENCH/pq_recall.json, strided sampling). The flag MUST match
     how ``books`` were trained — codebook arrays carry no scheme tag,
     so a mismatch silently degrades scores rather than erroring; that
     is why this raw function defaults to the legacy flat scheme and
