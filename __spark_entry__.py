@@ -549,13 +549,26 @@ def q_pq_topk(spark, sf):
     return ann.pq_topk(emb, query_vec_id=0, books=books, k=10, refine=PQ_REFINE)
 
 
+def q_pq_topk_m16(spark, sf):
+    """The adversarial-recall PQ configuration: m=16 subspaces (16
+    one-byte codes per vector instead of 8). The round-6.1 strided
+    sweep showed m is the lever that moves recall on near-uniform
+    data (0.94 vs 0.74 recall@10 at refine=200, BENCH/pq_recall.json)
+    — so the m=16 path gets its own gate: same train/encode/ADC
+    pipeline, oracle generated with 16 subspace k-means chains."""
+    emb = _emb(spark, sf)
+    books = ann.pq_train(emb, m=16, k=PQ_K, n_iter=2, sample=IVF_SAMPLE)
+    return ann.pq_topk(emb, query_vec_id=0, books=books, k=10, refine=PQ_REFINE)
+
+
 def q_ivf_pq_topk(spark, sf):
     """The composed FAISS architecture end-to-end: trained coarse
     quantizer prunes to n_probe cells, RESIDUAL PQ codes (books trained
-    on v - centroid[cell] — the real IVF-PQ shape, +0.2 adversarial
-    recall@10 over flat codes at identical query cost) ADC-scan only
-    those with the exact <q, centroid> anchor term, exact re-rank —
-    every decision rounded, whole pipeline replayed by the oracle."""
+    on v - centroid[cell] — the real IVF-PQ shape, a recall win when
+    the data clusters as real embeddings do; see BENCH/pq_recall.json,
+    strided sampling) ADC-scan only those with the exact <q, centroid>
+    anchor term, exact re-rank — every decision rounded, whole
+    pipeline replayed by the oracle."""
     emb = _emb(spark, sf)
     cents = ann.ivf_train(emb, n_cells=IVF_CELLS, n_iter=IVF_ITER, sample=IVF_SAMPLE)
     books = ann.pq_train(emb, m=PQ_M, k=PQ_K, n_iter=2, sample=IVF_SAMPLE, cents=cents)
@@ -769,6 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the displacement is documented in BENCH/BASELINE.md's gate census
     and the full 63 stay covered by scripts/check_correctness.py)."""
     return {
+        # --- round-6 additions (displaces customers_without_orders past
+        # the window, same policy as round 5's displacement) ---
+        "pq_topk_m16": q_pq_topk_m16,
         # --- round-5 additions ---
         "prepare_training_corpus": q_prepare_training_corpus,
         "redact_pii": q_redact_pii,
@@ -1781,6 +1797,7 @@ WHERE dropn.node IS NULL ORDER BY doc_id"""
     out["embedding_dup_pairs_lsh"] = out["embedding_dup_pairs"]
     out["ivf_topk_trained"] = _ivf_trained_sql()
     out["pq_topk"] = _pq_topk_sql()
+    out["pq_topk_m16"] = _pq_topk_sql(m=16)
     out["ivf_pq_topk"] = _ivf_pq_sql()
     # the stored-artifact paths must reproduce the recompute paths
     # exactly (write_ann_index round-trips the same trained codebooks
