@@ -347,3 +347,31 @@ def test_ann_append_crash_replay_and_self_merge_guard(emb, tmp_path):
     with pytest.raises(ValueError, match="onto itself"):
         ann_index.merge_ann_indexes(spark, [d, str(tmp_path / "crash/../crash")], d)
     assert json.loads(Path(d, "ann_stats.json").read_text())["n_vectors"] == emb.count()
+
+
+def test_ann_index_m16_end_to_end(emb, tmp_path):
+    """m is exposed end-to-end: a 16-subspace artifact (the
+    adversarial-recall configuration — BENCH/pq_recall.json shows m,
+    not residual encoding, is what lifts near-uniform recall past 0.9)
+    builds, stores 16-code rows, and its stored queries equal the
+    recompute twins — readers derive m from books.shape, nothing
+    assumes 8."""
+    from searty_spark import ann_index
+
+    d = str(tmp_path / "ann16")
+    stats = ann_index.write_ann_index(emb, d, n_cells=8, n_iter=2, m=16, pq_k=16)
+    assert stats["m"] == 16
+
+    _, cents, books, vectors = ann_index.load_ann_index(emb.sparkSession, d)
+    assert books.shape[0] == 16
+    assert all(len(r["codes"]) == 16 for r in vectors.limit(20).collect())
+    assert np.array_equal(books, ann.pq_train(emb, m=16, k=16, n_iter=2, cents=cents))
+
+    want = [
+        tuple(r)
+        for r in ann.ivf_pq_topk(
+            emb, 0, cents, books, k=10, n_probe=2, refine=50, residual=True
+        ).collect()
+    ]
+    got = ann_index.ivf_pq_topk_indexed(emb, d, 0, k=10, n_probe=2, refine=50)
+    assert [tuple(r) for r in got.collect()] == want
