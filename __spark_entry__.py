@@ -561,6 +561,34 @@ def q_pq_topk_m16(spark, sf):
     return ann.pq_topk(emb, query_vec_id=0, books=books, k=10, refine=PQ_REFINE)
 
 
+def q_substring_spans(spark, sf):
+    """Exact substring-level dedup, span report (Lee et al. 2022):
+    maximal 1-based token ranges covered by 10-token windows whose
+    exact text occurs >= 2 times corpus-wide, overlapping/adjacent
+    windows coalesced per doc. One window-text groupBy (partial-agg
+    collapses hot template windows pre-shuffle) + occurrence-mark
+    join + per-doc interval merge."""
+    return dedup.dup_spans(_docs(spark, sf), k=10, min_count=2)
+
+
+def q_substring_dedup(spark, sf):
+    """Document-level filter over substring_dup_stats: survivors with
+    duplicated-span coverage <= 20% of their tokens, with the stats
+    columns (n_tokens, dup_tokens, dup_frac) that justify the
+    decision. Clean docs (dup_tokens 0) survive via the left join."""
+    return dedup.substring_dedup(_docs(spark, sf), k=10, min_count=2, max_dup_frac=0.2)
+
+
+def q_excise_duplicates(spark, sf):
+    """The Lee et al. 2022 output transform: every duplicated
+    10-token window keeps its corpus-wide first occurrence (argmin
+    over the total (doc_id, pos) order — deterministic, which is what
+    makes the oracle replayable) and every other occurrence's token
+    range is excised; clean docs pass through so clean_text is a
+    drop-in column for the next stage."""
+    return dedup.excise_duplicates(_docs(spark, sf), k=10, min_count=2)
+
+
 def q_ivf_pq_topk(spark, sf):
     """The composed FAISS architecture end-to-end: trained coarse
     quantizer prunes to n_probe cells, RESIDUAL PQ codes (books trained
@@ -782,8 +810,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the displacement is documented in BENCH/BASELINE.md's gate census
     and the full 63 stay covered by scripts/check_correctness.py)."""
     return {
-        # --- round-6 additions (displaces customers_without_orders past
-        # the window, same policy as round 5's displacement) ---
+        # --- round-6 additions (displace quality_score,
+        # doc_fingerprint and symbol_defs past the window, same policy
+        # as round 5's displacement; all 67 stay covered by
+        # scripts/check_correctness.py) ---
+        "substring_spans": q_substring_spans,
+        "substring_dedup": q_substring_dedup,
+        "excise_duplicates": q_excise_duplicates,
         "pq_topk_m16": q_pq_topk_m16,
         # --- round-5 additions ---
         "prepare_training_corpus": q_prepare_training_corpus,
@@ -1807,4 +1840,66 @@ WHERE dropn.node IS NULL ORDER BY doc_id"""
     # the streaming twins must drain to exactly the batch answers
     out["sessionize_stream"] = out["sessionize"]
     out["windowed_counts_stream"] = out["windowed_counts"]
+    out["substring_spans"] = _substring_spans_cte(k=10) + """
+SELECT doc_id, cast(min(pos) AS bigint) AS span_start, cast(max(e) AS bigint) AS span_end
+FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+    out["substring_dedup"] = _substring_spans_cte(k=10) + """
+, sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e FROM g GROUP BY doc_id, grp),
+agg AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM sp GROUP BY doc_id)
+SELECT d.doc_id, cast(len(string_split(d.text, ' ')) AS bigint) AS n_tokens,
+       cast(coalesce(a.dup_tokens, 0) AS bigint) AS dup_tokens,
+       round(coalesce(a.dup_tokens, 0) / len(string_split(d.text, ' ')), 6) AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE round(coalesce(a.dup_tokens, 0) / len(string_split(d.text, ' ')), 6) <= 0.2
+ORDER BY doc_id
+"""
+    out["excise_duplicates"] = _excise_duplicates_sql(k=10)
     return out
+
+
+def _excise_duplicates_sql(k: int) -> str:
+    """Oracle twin of dedup.excise_duplicates: rank each duplicated
+    window's occurrences by (doc_id, pos), excise the token coverage
+    of every rank > 1 occurrence, reassemble per-doc text in token
+    order."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+wins AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+{k - 1}], ' ') AS w
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks)-{k}+1, 0))) AS i FROM t) u),
+r AS (SELECT doc_id, pos,
+        row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+        count(*) OVER (PARTITION BY w) AS cnt
+      FROM wins),
+removal AS (SELECT DISTINCT doc_id, u.tp AS tp
+            FROM r, unnest(generate_series(pos, pos + {k - 1})) AS u(tp)
+            WHERE cnt >= 2 AND rn > 1),
+tok AS (SELECT doc_id, s.g AS tp, toks[s.g] AS tok
+        FROM t, unnest(generate_series(1, len(toks))) AS s(g)),
+kept AS (SELECT tok.* FROM tok ANTI JOIN removal USING (doc_id, tp)),
+rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text, count(*) AS n_kept
+       FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+       cast(len(string_split(d.text, ' ')) - coalesce(rb.n_kept, 0) AS bigint) AS n_removed_tokens
+FROM documents d LEFT JOIN rb USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def _substring_spans_cte(k: int) -> str:
+    """Shared oracle spine for the substring-dedup gates: k-token
+    windows -> corpus-wide occurrence filter -> per-doc merged
+    duplicated intervals (running-max island detection), replaying
+    dedup.dup_spans exactly (1-based inclusive bounds, adjacent spans
+    merged)."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+wins AS (SELECT doc_id, i AS pos, i + {k - 1} AS e, array_to_string(toks[i:i+{k - 1}], ' ') AS w
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks)-{k}+1, 0))) AS i FROM t) u),
+dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+dwin AS (SELECT doc_id, pos, e FROM wins WHERE w IN (SELECT w FROM dup)),
+m AS (SELECT doc_id, pos, e,
+  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 1 THEN 1 ELSE 0 END AS brk
+  FROM dwin),
+g AS (SELECT doc_id, pos, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
+"""

@@ -22,7 +22,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -434,5 +434,211 @@ def dup_clusters(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFra
     return (
         connected_components(pairs.union(group_edges))
         .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+def _dup_windows(docs: DataFrame, k: int, min_count: int) -> DataFrame:
+    """(doc_id, pos, e) — every k-token window whose exact text occurs
+    at least ``min_count`` times corpus-wide (all occurrences count,
+    including repeats inside one document). pos/e are 1-based inclusive
+    token bounds [pos, pos + k - 1]."""
+    toks = F.split(F.col("text"), " ")
+    wins = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.struct(
+                (i + 1).alias("pos"), F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("w")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
+    wins = docs.select("doc_id", F.explode(wins).alias("win")).select(
+        "doc_id", F.col("win.pos").alias("pos"), F.col("win.w").alias("w")
+    )
+    dup = (
+        wins.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("w")
+    )
+    return wins.join(dup, "w").select(
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("e")
+    )
+
+
+def dup_spans(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataFrame:
+    """(doc_id, span_start, span_end) — maximal duplicated substring
+    spans: 1-based inclusive token ranges covered by k-token windows
+    whose exact text appears >= min_count times in the corpus, with
+    overlapping/adjacent windows coalesced per document. The
+    substring-level exact-dedup primitive of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") —
+    their suffix-array pass finds the same duplicated regions; the
+    k-gram window formulation is the shuffle-native equivalent
+    (identical spans for duplicates of length >= k, which is the
+    definition of the operator).
+
+    Scale shape (100 TB): one map-side explode (k x text volume), ONE
+    wide shuffle — the window-text groupBy, whose partial aggregation
+    collapses hot template windows per-partition before the exchange —
+    then a shuffled hash join to mark occurrences (AQE splits the few
+    hot window keys), and per-doc interval coalescing under a
+    Window.partitionBy(doc_id) whose partitions are single documents
+    (bounded by doc length, never corpus size). The join key is the
+    raw window text so the semantics stay exactly "same k tokens" and
+    the DuckDB oracle replays it verbatim; at 10^10+ windows, shuffle
+    bytes can be cut ~10x by keying on xxhash64(w) instead — a pure
+    transport optimization whose 64-bit collision odds only begin to
+    matter past ~10^9 distinct windows (birthday bound), at the cost
+    of engine-portable byte-identical semantics.
+
+    Reference parity: searty has no substring dedup (it indexes code);
+    this is part of the LLM-training-data operator set layered on the
+    same corpus model."""
+    dwin = _dup_windows(docs, k, min_count)
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = (
+        dwin.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("pos") > F.coalesce(F.col("prev_e"), F.lit(-10)) + 1, 1
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("brk").over(w_run))
+    )
+    return (
+        marked.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def substring_dup_stats(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_frac) for EVERY document —
+    dup_tokens is the union coverage of the doc's duplicated spans
+    (dup_spans semantics), 0 for clean docs. One left join of the
+    span aggregate back onto the corpus; everything upstream is the
+    dup_spans plan."""
+    spans = dup_spans(docs, k, min_count)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
+    )
+    return (
+        docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def substring_dedup(
+    docs: DataFrame, k: int = 10, min_count: int = 2, max_dup_frac: float = 0.2
+) -> DataFrame:
+    """Survivor stats rows (doc_id, n_tokens, dup_tokens, dup_frac)
+    for documents whose duplicated-substring coverage is <=
+    max_dup_frac — the document-level filter a training-prep pipeline
+    applies from substring_dup_stats (drop boilerplate-heavy docs;
+    span-level excision is a policy variant over the same spans)."""
+    return (
+        substring_dup_stats(docs, k, min_count)
+        .filter(F.col("dup_frac") <= max_dup_frac)
+        .orderBy("doc_id")
+    )
+
+
+def excise_duplicates(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataFrame:
+    """(doc_id, clean_text, n_removed_tokens) — the Lee et al. 2022
+    output transform: every duplicated k-token window keeps its
+    corpus-wide FIRST occurrence (minimum (doc_id, pos)) and every
+    other occurrence's token range is excised from its document; a
+    token is removed iff at least one non-first duplicated window
+    covers it. Documents always appear (clean docs pass through with
+    n_removed_tokens 0), so the output is a drop-in text column for
+    the next pipeline stage.
+
+    Deterministic by construction — the keeper is an argmin over the
+    total (doc_id, pos) order, no sampling — which is what makes the
+    DuckDB oracle replayable. Scale shape: the dup_spans spine (one
+    window-text shuffle with map-side partial agg) plus an argmin
+    aggregation per duplicated window, a covered-position explode
+    bounded by k x non-first occurrences, and a per-doc token
+    re-assembly under sort_array(collect_list) whose groups are single
+    documents (bounded by doc length, never corpus size)."""
+    toks = F.split(F.col("text"), " ")
+    wins = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.struct(
+                (i + 1).alias("pos"), F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("w")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
+    wins = docs.select("doc_id", F.explode(wins).alias("win")).select(
+        "doc_id", F.col("win.pos").alias("pos"), F.col("win.w").alias("w")
+    )
+    dup = (
+        wins.groupBy("w")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        )
+        .filter(F.col("cnt") >= min_count)
+        .select("w", "first_occ")
+    )
+    removal = (
+        wins.join(dup, "w")
+        .filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("tp")
+        )
+        .distinct()
+    )
+    tokens = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("tp"), "tok")
+    kept = tokens.join(removal, ["doc_id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tp", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_toks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
         .orderBy("doc_id")
     )

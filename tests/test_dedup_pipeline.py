@@ -149,3 +149,97 @@ def test_dup_clusters_exact_collapse_semantics(spark):
         for r in dup_clusters(docs, threshold=0.4).collect()
     }
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 10}
+
+
+# --- exact substring-level dedup (Lee et al. 2022 span semantics) ---
+
+
+def _sub_docs(spark):
+    rows = [
+        (0, "x1 x2 D1 D2 D3 D4 D5 y1 y2"),        # dup run [3,7]
+        (1, "z1 D1 D2 D3 D4 D5 z2 z3 z4 z5"),     # same run at [2,6]
+        (2, "u1 u2 u3 u4 u5"),                    # unique
+        (3, "s1 s2"),                             # shorter than k
+        (4, "R1 R2 R3 R4 m1 R1 R2 R3 R4"),        # self-repetition
+        (5, "A1 A2 A3 A4 B1 B2 B3 B4"),           # touching spans merge
+        (6, "A1 A2 A3 A4 q1 q2 B1 B2 B3 B4"),     # same spans, separated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_spans_planted(spark):
+    """Spans are maximal per-doc unions of duplicated k-windows:
+    overlapping windows merge (docs 0/1), exactly-touching spans merge
+    (doc 5: [1,4]+[5,8] -> [1,8]), gapped spans stay separate (docs
+    4, 6), self-repetition inside one doc counts toward min_count,
+    unique and short docs emit nothing."""
+    from searty_spark.dedup import dup_spans
+
+    got = [tuple(r) for r in dup_spans(_sub_docs(spark), k=4).collect()]
+    assert got == [
+        (0, 3, 7),
+        (1, 2, 6),
+        (4, 1, 4),
+        (4, 6, 9),
+        (5, 1, 8),
+        (6, 1, 4),
+        (6, 7, 10),
+    ]
+
+
+def test_substring_stats_and_dedup(spark):
+    """Stats cover EVERY doc (clean and sub-k docs at dup_tokens 0);
+    the dedup filter keeps dup_frac <= max inclusive."""
+    from searty_spark.dedup import substring_dedup, substring_dup_stats
+
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in substring_dup_stats(_sub_docs(spark), k=4).collect()
+    }
+    assert stats == {
+        0: (9, 5, round(5 / 9, 6)),
+        1: (10, 5, 0.5),
+        2: (5, 0, 0.0),
+        3: (2, 0, 0.0),
+        4: (9, 8, round(8 / 9, 6)),
+        5: (8, 8, 1.0),
+        6: (10, 8, 0.8),
+    }
+    kept = [
+        r["doc_id"]
+        for r in substring_dedup(_sub_docs(spark), k=4, max_dup_frac=0.5).collect()
+    ]
+    assert kept == [1, 2, 3]  # 0.5 inclusive; 0/4/5/6 dropped
+
+
+def test_substring_min_count_threshold(spark):
+    """min_count=3 demands a third occurrence: the pair-planted run
+    disappears, the self-repeated doc (2 occurrences) too."""
+    from searty_spark.dedup import dup_spans
+
+    got = dup_spans(_sub_docs(spark), k=4, min_count=3).count()
+    assert got == 0
+
+
+def test_excise_duplicates_keeper_semantics(spark):
+    """The corpus-wide first occurrence (min (doc_id, pos)) of each
+    duplicated window survives; later occurrences are excised,
+    including self-repetition inside one doc; clean and sub-k docs
+    pass through untouched with n_removed_tokens 0."""
+    from searty_spark.dedup import excise_duplicates
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in excise_duplicates(_sub_docs(spark), k=4).collect()
+    }
+    # doc 0 holds the first occurrences of the D-run and A/B windows
+    # it owns nothing of; doc 1's copy of the D-run is excised.
+    assert got[0] == ("x1 x2 D1 D2 D3 D4 D5 y1 y2", 0)
+    assert got[1] == ("z1 z2 z3 z4 z5", 5)
+    assert got[2] == ("u1 u2 u3 u4 u5", 0)
+    assert got[3] == ("s1 s2", 0)
+    # self-repetition: first R-run kept, second excised
+    assert got[4] == ("R1 R2 R3 R4 m1", 4)
+    # doc 5 owns the first A-run and B-run; doc 6 loses both
+    assert got[5] == ("A1 A2 A3 A4 B1 B2 B3 B4", 0)
+    assert got[6] == ("q1 q2", 8)

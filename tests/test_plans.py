@@ -244,3 +244,17 @@ def test_seen_store_lookup_prunes_buckets(spark, tmp_path):
     got = {r["key"] for r in looked.collect()}
     assert {"https://ex.com/0", "https://ex.com/1", "https://ex.com/2"} <= got
     assert len(got) < 100
+
+
+def test_substring_dedup_plan_shape(spark, small_corpus):
+    """The substring-dedup spine is shuffle-joined on window text,
+    never a pair-generating cartesian, and the corpus-wide window
+    count runs with map-side partial aggregation (the property that
+    collapses a hot template window per-partition BEFORE the
+    exchange — the skew defence at 100 TB)."""
+    from searty_spark.dedup import dup_spans
+
+    plan = _plan(dup_spans(small_corpus, k=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine on the window groupBy
