@@ -122,6 +122,7 @@ def prepare_training_corpus(
     bench: DataFrame | None = None,
     n_contam: int = 5,
     min_tokens: int = 16,
+    substring_k: int | None = None,
     **gopher_kwargs,
 ) -> DataFrame:
     """(doc_id, clean_text, n_redactions) — the full Dolma/CCNet-style
@@ -140,7 +141,17 @@ def prepare_training_corpus(
                            REDACTED text (redaction canonicalizes
                            machine-formatted variation first, so two
                            docs differing only in scrubbed tokens
-                           collapse — the reason this stage follows 3).
+                           collapse — the reason this stage follows 3);
+    5. (optional, ``substring_k``) substring excision — the Lee et
+                           al. 2022 rewrite over the SURVIVORS'
+                           clean_text (dedup.excise_duplicates with
+                           k = substring_k): duplicated k-token runs
+                           keep their corpus-wide first occurrence,
+                           later copies are cut. Runs after dedup so
+                           exact copies are already gone and the
+                           window table only carries survivor text.
+                           Off by default (output identical to the
+                           gated 4-stage contract when None).
 
     Stage order is part of the contract; the DuckDB oracle replays it
     verbatim.
@@ -177,10 +188,20 @@ def prepare_training_corpus(
         )
         red = red.join(contam, "doc_id").filter(~F.col("contaminated"))
     w = Window.partitionBy("fp").orderBy("doc_id")
-    return (
+    out = (
         red.withColumn("fp", F.md5("clean_text"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "clean_text", "n_redactions")
-        .orderBy("doc_id")
     )
+    if substring_k is not None:
+        from searty_spark.dedup import excise_duplicates
+
+        exc = excise_duplicates(
+            out.select("doc_id", F.col("clean_text").alias("text")), k=substring_k
+        ).select("doc_id", F.col("clean_text").alias("excised_text"))
+        out = (
+            out.join(exc, "doc_id")
+            .select("doc_id", F.col("excised_text").alias("clean_text"), "n_redactions")
+        )
+    return out.orderBy("doc_id")

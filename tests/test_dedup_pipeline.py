@@ -243,3 +243,36 @@ def test_excise_duplicates_keeper_semantics(spark):
     # doc 5 owns the first A-run and B-run; doc 6 loses both
     assert got[5] == ("A1 A2 A3 A4 B1 B2 B3 B4", 0)
     assert got[6] == ("q1 q2", 8)
+
+
+def test_composite_substring_stage_is_composition(spark):
+    """prepare_training_corpus(substring_k=4) == excise_duplicates
+    applied to the 4-stage composite's survivors — the optional stage
+    5 is pure composition (and off by default, leaving the gated
+    contract untouched)."""
+    from searty_spark.dedup import excise_duplicates
+    from searty_spark.pipeline import prepare_training_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(min_tokens=4, min_stopword_ratio=0.0, max_symbol_ratio=1.0)
+    base = prepare_training_corpus(docs, **kw)
+    staged = [
+        tuple(r) for r in prepare_training_corpus(docs, substring_k=4, **kw).collect()
+    ]
+    exc = excise_duplicates(
+        base.select("doc_id", F.col("clean_text").alias("text")), k=4
+    ).select("doc_id", F.col("clean_text").alias("x"))
+    manual = [
+        tuple(r)
+        for r in base.drop("clean_text")
+        .join(exc, "doc_id")
+        .select("doc_id", F.col("x").alias("clean_text"), "n_redactions")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert staged == manual and len(staged) > 0
+    # stage 5 actually rewrites something on this corpus
+    base_rows = {r["doc_id"]: r["clean_text"] for r in base.collect()}
+    assert any(base_rows[d] != t for d, t, _ in staged)
