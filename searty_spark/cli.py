@@ -9,6 +9,10 @@ reference binaries, SURVEY.md §3):
     searty        (cmd/searty/searty.go:28-75)
       python -m searty_spark.cli query --index DIR [-k 10] [--phrase] "Q" ...
 
+Plus the training-data surface the reference doesn't have:
+      python -m searty_spark.cli clean --corpus P --out DIR
+        [--bench P] [--substring-k 10] [--min-stopword-ratio 0.0]
+
 Cluster form: spark-submit --py-files /tmp/searty_spark_pyfiles.zip
 (session.py builds that zip and ships it automatically in local runs).
 """
@@ -50,6 +54,54 @@ def cmd_build(args) -> None:
         analyzer=args.analyzer,
     )
     print(json.dumps({"wall_sec": time.perf_counter() - t0, **m["stats"]}))
+
+
+def cmd_clean(args) -> None:
+    """Training-prep composite from the CLI: corpus parquet (or
+    synth:N) in, (doc_id, clean_text, n_redactions) parquet out —
+    pipeline.prepare_training_corpus end-to-end (gopher gate,
+    optional benchmark decontamination, PII redaction, exact dedup,
+    optional Lee-et-al substring excision), with one JSON stats line
+    on stdout."""
+    from pyspark.sql import functions as F
+
+    from searty_spark.pipeline import prepare_training_corpus
+    from searty_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app_name="searty-clean")
+    docs = _corpus(spark, args.corpus)
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    kw = {}
+    if args.min_stopword_ratio is not None:
+        kw["min_stopword_ratio"] = args.min_stopword_ratio
+    if args.max_symbol_ratio is not None:
+        kw["max_symbol_ratio"] = args.max_symbol_ratio
+    t0 = time.perf_counter()
+    out = prepare_training_corpus(
+        docs,
+        bench=bench,
+        n_contam=args.n_contam,
+        min_tokens=args.min_tokens,
+        substring_k=args.substring_k,
+        **kw,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    wall = time.perf_counter() - t0
+    written = spark.read.parquet(args.out)
+    stats = written.agg(
+        F.count("*").alias("n_survivors"), F.sum("n_redactions").alias("n_redactions")
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "wall_sec": round(wall, 3),
+                "n_docs_in": docs.count(),
+                "n_survivors": stats["n_survivors"],
+                "n_redactions": int(stats["n_redactions"] or 0),
+                "out": args.out,
+            }
+        )
+    )
 
 
 def cmd_serve(args) -> None:
@@ -536,6 +588,22 @@ def main(argv=None) -> None:
                    help="document-identity column for shared-identity merge "
                         "(default: auto = url when present; must be UNIQUE per document)")
     b.set_defaults(fn=cmd_build)
+
+    cl = sub.add_parser("clean")
+    cl.add_argument("--corpus", required=True, help="parquet path or synth:N")
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--bench", default=None,
+                    help="evaluation-set parquet for n-gram decontamination")
+    cl.add_argument("--n-contam", type=int, default=5)
+    cl.add_argument("--min-tokens", type=int, default=16)
+    cl.add_argument("--substring-k", type=int, default=None,
+                    help="also excise duplicated k-token runs from the "
+                         "survivors (Lee et al. 2022 rewrite)")
+    cl.add_argument("--min-stopword-ratio", type=float, default=None,
+                    help="override the gopher stop-word floor "
+                         "(0.0 for non-prose corpora)")
+    cl.add_argument("--max-symbol-ratio", type=float, default=None)
+    cl.set_defaults(fn=cmd_clean)
 
     m = sub.add_parser("merge")
     m.add_argument("--inputs", nargs="+", required=True)

@@ -89,3 +89,46 @@ def test_serve_loop_contract(spark, small_corpus, tmp_path, monkeypatch, capsys)
     got = {r["seq"]: r for r in clines[1:]}
     assert sorted(got) == [0, 1, 2, 3]
     assert got[0]["results"] == want and got[3]["results"] == want
+
+
+def test_clean_subcommand_end_to_end(spark, tmp_path, capsys):
+    """`cli clean` writes the composite's survivors as parquet and the
+    stats line agrees with a direct prepare_training_corpus call —
+    including the optional substring-excision stage."""
+    from pyspark.sql import functions as F
+
+    from searty_spark import cli
+    from searty_spark.pipeline import prepare_training_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "cleaned")
+    cli.cmd_clean(
+        argparse.Namespace(
+            cpus=4,
+            corpus=src,
+            out=out,
+            bench=None,
+            n_contam=5,
+            min_tokens=4,
+            substring_k=10,
+            min_stopword_ratio=0.0,
+            max_symbol_ratio=1.0,
+        )
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs = spark.read.parquet(src).select("doc_id", "text")
+    want = prepare_training_corpus(
+        docs,
+        min_tokens=4,
+        substring_k=10,
+        min_stopword_ratio=0.0,
+        max_symbol_ratio=1.0,
+    )
+    got = spark.read.parquet(out).orderBy("doc_id")
+    assert stats["n_survivors"] == want.count() == got.count()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # the excision stage actually rewrote something
+    assert (
+        got.join(docs, "doc_id").filter(F.col("clean_text") != F.col("text")).count()
+        > 0
+    )
