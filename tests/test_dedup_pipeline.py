@@ -276,3 +276,59 @@ def test_composite_substring_stage_is_composition(spark):
     # stage 5 actually rewrites something on this corpus
     base_rows = {r["doc_id"]: r["clean_text"] for r in base.collect()}
     assert any(base_rows[d] != t for d, t, _ in staged)
+
+
+def test_substring_family_matches_brute_force(spark):
+    """Property net: on random small-vocab corpora (dense organic
+    window collisions, docs above and below k) dup_spans and
+    excise_duplicates must equal a brute-force python reference —
+    occurrence dict, first-occurrence keeper, interval merge."""
+    import random
+    from collections import defaultdict
+
+    from searty_spark.dedup import dup_spans, excise_duplicates
+
+    k = 3
+    for seed in range(5):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d"]
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 22))))
+            for d in range(30)
+        ]
+
+        occ = defaultdict(list)
+        for doc_id, text in rows:
+            toks = text.split(" ")
+            for i in range(len(toks) - k + 1):
+                occ[tuple(toks[i : i + k])].append((doc_id, i + 1))
+        spans_by_doc, removal = defaultdict(list), defaultdict(set)
+        for lst in occ.values():
+            if len(lst) >= 2:
+                lst = sorted(lst)
+                for d, p in lst:
+                    spans_by_doc[d].append((p, p + k - 1))
+                    if (d, p) != lst[0]:
+                        removal[d].update(range(p, p + k))
+        want_spans = []
+        for d in sorted(spans_by_doc):
+            iv = sorted(set(spans_by_doc[d]))
+            cur = list(iv[0])
+            for s, e in iv[1:]:
+                if s <= cur[1] + 1:
+                    cur[1] = max(cur[1], e)
+                else:
+                    want_spans.append((d, cur[0], cur[1]))
+                    cur = [s, e]
+            want_spans.append((d, cur[0], cur[1]))
+        want_exc = []
+        for doc_id, text in rows:
+            toks = text.split(" ")
+            kept = [t for i, t in enumerate(toks, 1) if i not in removal[doc_id]]
+            want_exc.append((doc_id, " ".join(kept), len(toks) - len(kept)))
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got_spans = [tuple(r) for r in dup_spans(df, k=k).collect()]
+        assert got_spans == want_spans, f"seed {seed} spans"
+        got_exc = [tuple(r) for r in excise_duplicates(df, k=k).collect()]
+        assert got_exc == want_exc, f"seed {seed} excision"
