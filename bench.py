@@ -247,6 +247,16 @@ def main():
     extra["prepare_corpus"] = round(t, 4)
     extra["prepare_corpus_survivors"] = n_surv
 
+    # substring-level dedup (round 6.2): the Lee-et-al excision over
+    # the documents table — window shuffle + keeper argmin + rewrite
+    t, n_rw = timed(
+        lambda: dedup.excise_duplicates(docs, k=10)
+        .filter(F.col("n_removed_tokens") > 0)
+        .count()
+    )
+    extra["substring_excise"] = round(t, 4)
+    extra["substring_excise_docs_rewritten"] = n_rw
+
     t, _ = timed(lambda: ann.cosine_topk(emb, 0, k=10).collect())
     results["ann_topk"] = round(t, 4)
 
