@@ -803,12 +803,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers the first 50 entries, so new round work and the
     hardest-to-hold invariants (streaming twins, stored-ANN artifact
     paths, segment kernels) sit inside it; the tail past 50 holds only
-    simple single-statement gates green since round 1 (round 5 moved
-    revenue_by_nation / customers_without_orders / package_defs —
-    a broadcast join+agg, an anti-join, and a broadcast metadata
-    lookup — past the window to admit the three new pipeline gates;
-    the displacement is documented in BENCH/BASELINE.md's gate census
-    and the full 63 stay covered by scripts/check_correctness.py)."""
+    gates green since rounds 1-2 whose shapes are exercised elsewhere
+    in the window (simple single-statement gates plus the symbol
+    broadcast-join lookups). Each round's additions displace the
+    least-risky window entries — documented per round in
+    BENCH/BASELINE.md's gate census; the full 67 stay covered by
+    scripts/check_correctness.py."""
     return {
         # --- round-6 additions (displace quality_score,
         # doc_fingerprint and symbol_defs past the window, same policy

@@ -274,6 +274,10 @@ def main():
     # residual IVF-PQ (the production default since r6): books trained
     # on v - centroid[cell], ADC anchored on the exact centroid term
     rbooks = ann.pq_train(emb, m=8, k=16, n_iter=2, cents=cents)
+    # m=16: the gated adversarial-recall configuration (round 6.1 —
+    # the subspace count, not residual encoding, is what moves recall
+    # on near-uniform data)
+    books16 = ann.pq_train(emb, m=16, k=16, n_iter=2)
     recall_sums: dict[str, float] = {}
     for qid in recall_qids:
         truth = {r["vec_id"] for r in ann.cosine_topk(emb, qid, k=10).collect()}
@@ -286,6 +290,9 @@ def main():
             ),
             "pq_residual_recall_at_10_refine200": ann.pq_topk(
                 emb, qid, rbooks, k=10, refine=200, cents=cents
+            ),
+            "pq_m16_recall_at_10_refine200": ann.pq_topk(
+                emb, qid, books16, k=10, refine=200
             ),
         }
         for name, df in variants.items():

@@ -152,7 +152,7 @@ def main() -> None:
     )
     out["probe"] = probe(spark, paths["skew"], n_docs)
 
-    dest = REPO / "BENCH" / "substring_scale.json"
+    dest = REPO / "BENCH" / f"substring_scale_{n_docs // 1000}k.json"
     dest.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out, indent=2))
 

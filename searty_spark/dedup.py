@@ -438,11 +438,15 @@ def dup_clusters(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFra
     )
 
 
-def _dup_windows(docs: DataFrame, k: int, min_count: int) -> DataFrame:
-    """(doc_id, pos, e) — every k-token window whose exact text occurs
-    at least ``min_count`` times corpus-wide (all occurrences count,
-    including repeats inside one document). pos/e are 1-based inclusive
-    token bounds [pos, pos + k - 1]."""
+def _dup_windows(
+    docs: DataFrame, k: int, min_count: int, first_occ: bool = False
+) -> DataFrame:
+    """(doc_id, pos, e[, first_occ]) — every k-token window whose exact
+    text occurs at least ``min_count`` times corpus-wide (all
+    occurrences count, including repeats inside one document). pos/e
+    are 1-based inclusive token bounds [pos, pos + k - 1]; with
+    ``first_occ`` each row also carries the window's corpus-wide
+    minimum (doc_id, pos) — the excision keeper."""
     toks = F.split(F.col("text"), " ")
     wins = F.when(
         F.size(toks) >= k,
@@ -456,14 +460,19 @@ def _dup_windows(docs: DataFrame, k: int, min_count: int) -> DataFrame:
     wins = docs.select("doc_id", F.explode(wins).alias("win")).select(
         "doc_id", F.col("win.pos").alias("pos"), F.col("win.w").alias("w")
     )
+    aggs = [F.count("*").alias("cnt")]
+    carry = []
+    if first_occ:
+        aggs.append(F.min(F.struct("doc_id", "pos")).alias("first_occ"))
+        carry = ["first_occ"]
     dup = (
         wins.groupBy("w")
-        .agg(F.count("*").alias("cnt"))
+        .agg(*aggs)
         .filter(F.col("cnt") >= min_count)
-        .select("w")
+        .select("w", *carry)
     )
     return wins.join(dup, "w").select(
-        "doc_id", "pos", (F.col("pos") + k - 1).alias("e")
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("e"), *carry
     )
 
 
@@ -578,65 +587,73 @@ def excise_duplicates(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataF
 
     Deterministic by construction — the keeper is an argmin over the
     total (doc_id, pos) order, no sampling — which is what makes the
-    DuckDB oracle replayable. Scale shape: the dup_spans spine (one
-    window-text shuffle with map-side partial agg) plus an argmin
-    aggregation per duplicated window, a covered-position explode
-    bounded by k x non-first occurrences, and a per-doc token
-    re-assembly under sort_array(collect_list) whose groups are single
-    documents (bounded by doc length, never corpus size)."""
+    DuckDB oracle replayable.
+
+    Scale shape: the dup_spans spine (one window-text shuffle with
+    map-side partial agg) plus an argmin per duplicated window, then
+    the non-first occurrences' intervals merge per doc (window
+    partitions = single documents, rows = duplicated occurrences
+    only) into a REMOVAL-INTERVALS sidecar — a relation bounded by
+    the duplicate mass, never the corpus. The rewrite itself is one
+    doc_id equi-join of that sidecar against the corpus and a JVM
+    higher-order projection (filter tokens by interval containment,
+    O(intervals) per token): the corpus is never exploded to token
+    rows, so nothing token-granular ever shuffles. An earlier
+    formulation (posexplode + anti-join + sort_array(collect_list)
+    reassembly) moved every corpus token through TWO exchanges;
+    interleaved A/B at 200k docs (BENCH/excise_ab.json) shows the two
+    are a wall-clock wash on local[32] (v2/v1 = 1.08, inside the VM
+    noise band, rows identical) — the intervals formulation is kept
+    for its shuffle-volume profile, which is what the in-memory
+    single-node shuffle hides and a 100-TB network shuffle does not:
+    v1's exchange volume is O(corpus tokens), v2's is O(duplicate
+    mass) + one corpus-row join."""
+    dwin = _dup_windows(docs, k, min_count, first_occ=True)
+    removal = dwin.filter(
+        (F.col("doc_id") != F.col("first_occ.doc_id"))
+        | (F.col("pos") != F.col("first_occ.pos"))
+    ).select("doc_id", "pos", "e")
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cuts = (
+        removal.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("pos") > F.coalesce(F.col("prev_e"), F.lit(-10)) + 1, 1
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("cuts"))
+    )
     toks = F.split(F.col("text"), " ")
-    wins = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.struct(
-                (i + 1).alias("pos"), F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("w")
-            ),
+    indexed = F.transform(
+        toks, lambda t, i: F.struct((i + 1).alias("tp"), t.alias("tok"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("cuts"), lambda c: (s["tp"] >= c["s"]) & (s["tp"] <= c["e"])
         ),
-    ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
-    wins = docs.select("doc_id", F.explode(wins).alias("win")).select(
-        "doc_id", F.col("win.pos").alias("pos"), F.col("win.w").alias("w")
-    )
-    dup = (
-        wins.groupBy("w")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
-        )
-        .filter(F.col("cnt") >= min_count)
-        .select("w", "first_occ")
-    )
-    removal = (
-        wins.join(dup, "w")
-        .filter(
-            (F.col("doc_id") != F.col("first_occ.doc_id"))
-            | (F.col("pos") != F.col("first_occ.pos"))
-        )
-        .select(
-            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("tp")
-        )
-        .distinct()
-    )
-    tokens = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("tp"), "tok")
-    kept = tokens.join(removal, ["doc_id", "tp"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("tp", "tok"))), lambda s: s["tok"]
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
     )
     return (
-        docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_toks"))
-        .join(rebuilt, "doc_id", "left")
+        docs.join(cuts, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            F.when(F.col("cuts").isNull(), F.col("text"))
+            .otherwise(
+                F.array_join(F.transform(kept, lambda s: s["tok"]), " ")
+            )
+            .alias("clean_text"),
+            F.when(F.col("cuts").isNull(), F.lit(0))
+            .otherwise(F.size(toks) - F.size(kept))
             .cast("long")
             .alias("n_removed_tokens"),
         )

@@ -258,3 +258,9 @@ def test_substring_dedup_plan_shape(spark, small_corpus):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan  # map-side combine on the window groupBy
+
+    from searty_spark.dedup import excise_duplicates
+
+    eplan = _plan(excise_duplicates(small_corpus, k=10))
+    assert "CartesianProduct" not in eplan
+    assert "BroadcastNestedLoopJoin" not in eplan
