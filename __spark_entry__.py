@@ -579,6 +579,15 @@ def q_substring_dedup(spark, sf):
     return dedup.substring_dedup(_docs(spark, sf), k=10, min_count=2, max_dup_frac=0.2)
 
 
+def q_lm_doc_scores(spark, sf):
+    """CCNet-style LM quality signal without an external model: each
+    doc's mean log-probability of its word bigrams under the corpus's
+    own Laplace-smoothed bigram model, P(w2|w1) = (c2+1)/(c1+V).
+    Low scorers are the perplexity-filter drop set. Oracle replays
+    the counts, V and the smoothed mean in SQL."""
+    return textops.lm_score(_docs(spark, sf))
+
+
 def q_excise_duplicates(spark, sf):
     """The Lee et al. 2022 output transform: every duplicated
     10-token window keeps its corpus-wide first occurrence (argmin
@@ -807,16 +816,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in the window (simple single-statement gates plus the symbol
     broadcast-join lookups). Each round's additions displace the
     least-risky window entries — documented per round in
-    BENCH/BASELINE.md's gate census; the full 67 stay covered by
+    BENCH/BASELINE.md's gate census; the full 68 stay covered by
     scripts/check_correctness.py."""
     return {
-        # --- round-6 additions (displace quality_score,
+        # --- round-6 additions (displace ngram_counts, quality_score,
         # doc_fingerprint and symbol_defs past the window, same policy
-        # as round 5's displacement; all 67 stay covered by
+        # as round 5's displacement; all 68 stay covered by
         # scripts/check_correctness.py) ---
         "substring_spans": q_substring_spans,
         "substring_dedup": q_substring_dedup,
         "excise_duplicates": q_excise_duplicates,
+        "lm_doc_scores": q_lm_doc_scores,
         "pq_topk_m16": q_pq_topk_m16,
         # --- round-5 additions ---
         "prepare_training_corpus": q_prepare_training_corpus,
@@ -1855,6 +1865,19 @@ WHERE round(coalesce(a.dup_tokens, 0) / len(string_split(d.text, ' ')), 6) <= 0.
 ORDER BY doc_id
 """
     out["excise_duplicates"] = _excise_duplicates_sql(k=10)
+    out["lm_doc_scores"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bi AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+       FROM (SELECT doc_id, l, unnest(generate_series(1, greatest(len(l)-1, 0))) AS i FROM t) u),
+uni AS (SELECT unnest(l) AS w FROM t),
+c1 AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM uni),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2)
+SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+       round(avg(ln((c2 + 1) / (c1.c1 + v.v))), 6) AS avg_logprob
+FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+"""
     return out
 
 

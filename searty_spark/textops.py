@@ -383,3 +383,54 @@ def ngram_contamination(
         )
         .orderBy("doc_id")
     )
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — CCNet-style language-model
+    quality signal: each document scored by the mean log-probability
+    of its word bigrams under the CORPUS'S OWN Laplace-smoothed bigram
+    model, P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Documents whose
+    text is statistically typical of the corpus score high; boilerplate
+    gibberish and charset noise score low — the filterable signal the
+    CCNet pipeline gets from a KenLM perplexity bucket, computed here
+    without an external model. Docs with fewer than 2 tokens have no
+    bigram and are omitted (no score is defined for them).
+
+    Scale shape: one explode to bigram occurrences, two corpus-wide
+    gram count aggregations (map-side combined), two equi-joins of the
+    occurrence relation against those counts on the gram keys (AQE
+    broadcasts the count sides when small, splits hot function-word
+    keys otherwise), one doc_id aggregation. Nothing quadratic,
+    nothing driver-side; V is a 1-row aggregate. Float policy: the
+    mean is rounded to 6 like every scored surface (CLAUDE.md)."""
+    toks = words_col()
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = docs.select(F.explode(toks).alias("w"))
+    c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
+    v = uni.select(F.count_distinct("w").alias("v"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    return (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -117,3 +117,23 @@ def test_contamination_short_docs_have_zero_ngrams(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_lm_score_hand_computed(spark):
+    """Laplace bigram LM against hand math: c2/c1/V from a 3-doc
+    corpus, sub-2-token docs omitted."""
+    import math
+
+    from searty_spark.textops import lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in lm_score(docs).collect()}
+    # c1: a=3 b=3 z=1; V=3; c2: (a,b)=3 (b,a)=1
+    p_ab = math.log((3 + 1) / (3 + 3))
+    p_ba = math.log((1 + 1) / (3 + 3))
+    assert got == {
+        0: (3, round((2 * p_ab + p_ba) / 3, 6)),
+        1: (1, round(p_ab, 6)),
+    }  # doc 2 has no bigram and is omitted
