@@ -268,6 +268,12 @@ def write_index(
         sites.select(
             _symbol_id().alias("symbol_id"), "specifier", "doc_id", "position"
         ).write.mode("overwrite").parquet(str(out / "symbol_definitions"))
+        # nb: the package tables are bounded by the number of distinct
+        # languages, but collecting them and writing via
+        # spark.createDataFrame is NOT a shortcut here — local-relation
+        # parquet writes cost 4-7 s each in this environment (measured)
+        # versus ~0.45 s per corpus-aggregation write, so the two tiny
+        # aggregation scans stay
         package_table(corpus).coalesce(1).write.mode("overwrite").parquet(
             str(out / "packages")
         )

@@ -68,21 +68,40 @@ def _definition_sites(docs: DataFrame) -> DataFrame:
     """(doc_id, position, symbol_name, package_name, specifier) — the
     deterministic analyzer output (one narrow projection + explode,
     all JVM-side)."""
-    toks = F.split(F.col("text"), " ")
-    sites = F.when(
+    # resolve (position, symbol) INSIDE the array before exploding —
+    # exploding bare positions and resolving after carries the full
+    # token array on every output row through the generator. The token
+    # array MUST be a materialized column before the lambdas touch it:
+    # common-subexpression elimination stops at higher-order-function
+    # boundaries, so an inline split() would re-tokenize the document
+    # once per array element (measured 2.5x the whole stage).
+    toks = F.col("toks")
+    pairs = F.when(
         F.size(toks) >= 2,
-        F.filter(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda p: p % 5 == 0,
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda p: p % 5 == 0,
+            ),
+            lambda p: F.struct(
+                p.cast("long").alias("position"),
+                F.upper(F.element_at(toks, p + 2)).alias("symbol_name"),
+            ),
         ),
-    ).otherwise(F.array().cast("array<int>"))
+    ).otherwise(
+        F.array().cast("array<struct<position:bigint,symbol_name:string>>")
+    )
     return (
-        docs.select("doc_id", F.upper("lang").alias("package_name"),
-                    F.explode(sites).alias("position"), toks.alias("toks"))
+        docs.select(
+            "doc_id",
+            F.upper("lang").alias("package_name"),
+            F.split(F.col("text"), " ").alias("toks"),
+        )
+        .select("doc_id", "package_name", F.explode(pairs).alias("s"))
         .select(
             "doc_id",
-            F.col("position").cast("long").alias("position"),
-            F.upper(F.element_at(F.col("toks"), F.col("position") + 2)).alias("symbol_name"),
+            F.col("s.position").alias("position"),
+            F.col("s.symbol_name").alias("symbol_name"),
             "package_name",
         )
         .withColumn(
