@@ -264,3 +264,15 @@ def test_substring_dedup_plan_shape(spark, small_corpus):
     eplan = _plan(excise_duplicates(small_corpus, k=10))
     assert "CartesianProduct" not in eplan
     assert "BroadcastNestedLoopJoin" not in eplan
+
+
+def test_lm_score_plan_shape(spark, small_corpus):
+    """The LM scoring spine is gram-keyed equi-joins + one doc_id agg:
+    no cartesian, no nested-loop join, and the gram count aggregations
+    run with map-side partial aggregation (hot function-word bigrams
+    collapse per-partition before the exchange)."""
+    from searty_spark.textops import lm_score
+
+    plan = _plan(lm_score(small_corpus))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
