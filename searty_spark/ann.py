@@ -155,23 +155,92 @@ def cosine_dup_pairs_lsh(
     """Embedding near-dup pairs via sign-LSH banding + exact-cosine
     verification — the 100-TB shape of :func:`cosine_dup_pairs`.
 
-    Candidates come from an equi-join on (band, key) — uniform hash
-    keys, ordinary shuffle join, NO cartesian in the plan (asserted in
-    tests/test_plans.py). Each candidate pair is then verified with
-    the exact JVM-side cosine, so the output is deterministic and,
-    whenever band recall is 1.0, identical to the all-pairs baseline
-    (the driver gates this query against the all-pairs SQL oracle)."""
-    keys = lsh_band_keys(embeddings, dim, rows_per_band, n_bands)
-    a = keys.alias("a")
-    b = keys.alias("b")
+    Candidate SEMANTICS are unchanged from the banded formulation: a
+    pair is a candidate iff the two vectors share at least one
+    (band, key) bucket, and every candidate is verified with the exact
+    JVM-side cosine, so the output is deterministic and, whenever band
+    recall is 1.0, identical to the all-pairs baseline (the driver
+    gates this query against the all-pairs SQL oracle).
+
+    Execution shape (r7): the band keys are computed in the SAME
+    projection that carries the vector, each (band, key) bucket's
+    near-threshold pairs are found by a blocked numpy matmul INSIDE the
+    bucket group (one applyInPandas — no pair row ever exists for a
+    sub-threshold pair), and only the surviving candidate ids flow into
+    the unchanged exact-cosine verification. The prefilter keeps a
+    1e-6 margin under the threshold (covers round-half-up at 6 decimals
+    plus float fold-order differences), so it can only ADD candidates
+    relative to the final exact filter, never drop one — the output is
+    decided by the identical JVM expression either way. The previous
+    formulation materialized every within-bucket pair as a row
+    (vec_ids joined on (band, key)), distinct-ed them, and shuffled the
+    64-float embedding onto every pair TWICE: at 20k vectors / 4-bit
+    band keys that is ~2*10^8 pair rows and ~140 GB of joined embedding
+    traffic for a 16k-pair answer (measured 393 s; this shape: the
+    vectors move once, with their keys, ~176 MB)."""
+    n_bits = rows_per_band * n_bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(emb: pd.Series) -> pd.Series:
+        m = _lsh_planes(n_bits, dim)
+        v = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (v @ m.T) > 0
+        weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+        keys = [
+            bits[:, b * rows_per_band : (b + 1) * rows_per_band] @ weights
+            for b in range(n_bands)
+        ]
+        return pd.Series(np.stack(keys, axis=1).tolist())
+
+    kv = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(band_keys("embedding")).alias("band", "key"),
+    )
+    # No false negatives: exact filter is round(cos, 6) >= threshold
+    # (HALF_UP), so a true cos of threshold - 5e-7 still passes — the
+    # prefilter bound must sit below that, plus fold-order slack.
+    thr = threshold - 1e-6
+
+    def near_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order].astype(np.int64)
+        v = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        zero = norms == 0.0
+        vn = v / np.where(norms > 0, norms, 1.0)[:, None]
+        n = ids.size
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        # bound the sims buffer to ~128 MB regardless of bucket size
+        blk = max(32, min(1024, (16 * 1024 * 1024) // max(n, 1)))
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            sims = vn[s:e] @ vn[s:].T  # row i -> global s+i, col j -> global s+j
+            ii, jj = np.nonzero(sims >= thr)
+            ii += s
+            jj += s
+            keep = jj > ii
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+        if zero.any():
+            # a zero-norm vector's JVM cosine is 0/0 — not representable
+            # here; emit its pairs conservatively and let the exact
+            # verification decide (fixture corpora contain none)
+            for z in np.nonzero(zero)[0]:
+                others = np.delete(np.arange(n), z)
+                lo = np.minimum(ids[z], ids[others])
+                hi = np.maximum(ids[z], ids[others])
+                out_a.append(lo)
+                out_b.append(hi)
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"vec_id_a": a, "vec_id_b": b})
+
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b"))
+        kv.groupBy("band", "key")
+        .applyInPandas(near_pairs, "vec_id_a long, vec_id_b long")
         .distinct()
     )
     ea = embeddings.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))

@@ -50,18 +50,36 @@ def has_shingles_col(k: int = 3):
 
 def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word k-grams — pure SQL."""
-    toks = F.split(F.col("text"), " ")
+    return _word_shingle_rows(docs, k).distinct()
+
+
+def _word_shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) word k-gram OCCURRENCE rows (non-distinct) —
+    the map-side form. Consumers that are insensitive to multiplicity
+    (minhash min-fold; anything applying its own distinct after a
+    candidate prune) read this and skip the corpus-wide distinct
+    shuffle word_shingles pays.
+
+    The token array is materialized as a COLUMN before the lambda
+    touches it (the symbols.py lesson): common-subexpression
+    elimination stops at higher-order-function boundaries, so an
+    inline split() inside the slice lambda re-tokenizes the document
+    once per emitted shingle — O(doc_len x n_shingles) per doc,
+    measured 3.5x this whole operator at sf1.0. The emit condition is
+    has_shingles_col's value verbatim (size(toks) >= k over the same
+    single-space split) — dup_clusters' implicit-edge gate must keep
+    matching it (CLAUDE.md)."""
+    toks = F.col("toks")
     sh = F.when(
-        has_shingles_col(k),
+        F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - k),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFrame:
@@ -117,7 +135,12 @@ def jaccard_for_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    # distinct AFTER the candidate-doc prune: the input may be the
+    # non-distinct occurrence rows (_word_shingle_rows) — set semantics
+    # are restored here, where the relation is candidate-docs-sized,
+    # instead of paying a corpus-wide distinct shuffle upstream. A
+    # no-op (beyond the small shuffle) when ``sh`` is already distinct.
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi").distinct()
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pair_sh = cand.join(
         sh_c.withColumnRenamed("doc_id", "doc_a"), "doc_a"
@@ -165,6 +188,22 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = 3) -> Dat
     )
 
 
+def _minhash_signatures_rows(docs: DataFrame, n_perm: int, k: int) -> DataFrame:
+    """minhash_signatures over the NON-distinct shingle occurrence rows:
+    min over a multiset equals min over its set, so the signature is
+    identical while the shingle relation's corpus-wide distinct shuffle
+    disappears (the min-agg combines map-side either way, so the
+    exchange carries one row per doc)."""
+    sh = _word_shingle_rows(docs, k)
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(n_perm)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.4,
@@ -186,8 +225,13 @@ def minhash_lsh_pairs(
     # materialization costs 2.5-3x more than the three codegen'd
     # re-explodes (21-27 s vs 8.4 s at sf0.1), and caching inside a
     # library function leaks pinned storage the caller can't release.
-    sh = word_shingles(docs, k)
-    sig = minhash_signatures(docs, n_perm, k)  # same lazy plan as sh feeds
+    # What each consumer reads IS trimmed (r7): all three take the
+    # non-distinct occurrence rows, so none of the recomputes pays the
+    # corpus-wide distinct shuffle — signatures are multiplicity-
+    # insensitive and the verification restores set semantics after
+    # its candidate prune (jaccard_for_pairs).
+    sh = _word_shingle_rows(docs, k)
+    sig = _minhash_signatures_rows(docs, n_perm, k)  # same lazy plan as sh feeds
     band_structs = F.array(
         *[
             F.struct(
@@ -219,6 +263,14 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # Materialize the (tiny) candidate-pair relation: the verifier
+        # consumes it THREE times (two cand_docs branches + the per-pair
+        # fan-out), and each lazy consumption would re-run the whole
+        # shingle->signature->band-join subtree — 3 extra corpus passes
+        # for a relation of a few thousand rows. localCheckpoint here
+        # pins only the pair ids, never the shingle relation (the
+        # storage-leak concern above is about corpus-sized caches).
+        .localCheckpoint(eager=True)
     )
     # Verify with exact Jaccard scoped to the candidate pairs only —
     # NEVER the full-corpus shingle self-join (that would cost >= the
@@ -447,7 +499,11 @@ def _dup_windows(
     are 1-based inclusive token bounds [pos, pos + k - 1]; with
     ``first_occ`` each row also carries the window's corpus-wide
     minimum (doc_id, pos) — the excision keeper."""
-    toks = F.split(F.col("text"), " ")
+    # toks is a materialized column, NOT an inline split: the slice
+    # lambda would otherwise re-tokenize the document once per window
+    # (CSE stops at higher-order-function boundaries — see symbols.py /
+    # _word_shingle_rows; measured ~3x this stage at sf1.0)
+    toks = F.col("toks")
     wins = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -457,7 +513,9 @@ def _dup_windows(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
-    wins = docs.select("doc_id", F.explode(wins).alias("win")).select(
+    wins = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", F.explode(wins).alias("win")).select(
         "doc_id", F.col("win.pos").alias("pos"), F.col("win.w").alias("w")
     )
     aggs = [F.count("*").alias("cnt")]

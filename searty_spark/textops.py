@@ -199,7 +199,9 @@ def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
     counting semantics, unlike the dedup shingles which are per-doc
     sets). One explode + one hash aggregation; ``min_count`` prunes the
     long tail before it is ever shuffled to the output."""
-    toks = words_col()
+    # materialized toks column — an inline split() in the slice lambda
+    # re-tokenizes the doc once per gram (see _word_shingle_rows)
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -208,7 +210,8 @@ def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        docs.select("doc_id", words_col().alias("toks"))
+        .select("doc_id", F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(
             F.count("*").cast("long").alias("n_occurrences"),
@@ -340,13 +343,15 @@ def ngram_contamination(
     The count costs one extra Spark job whose input is the benchmark,
     which is exactly the side cheap enough to scan twice."""
     def grams(df):
-        w = words_col(text_col)
+        # materialized toks column — an inline split() in the slice
+        # lambda re-tokenizes the doc once per gram (_word_shingle_rows)
+        w = F.col("toks")
         # sequence(1, 0) would generate DESCENDING [1, 0], not empty —
         # docs shorter than n words must produce an empty index array
         idx = F.when(
             F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - n + 1)
         ).otherwise(F.array().cast("array<int>"))
-        return df.select(
+        return df.select("doc_id", words_col(text_col).alias("toks")).select(
             "doc_id",
             F.explode(
                 F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
@@ -403,7 +408,9 @@ def lm_score(docs: DataFrame) -> DataFrame:
     keys otherwise), one doc_id aggregation. Nothing quadratic,
     nothing driver-side; V is a 1-row aggregate. Float policy: the
     mean is rounded to 6 like every scored surface (CLAUDE.md)."""
-    toks = words_col()
+    # materialized toks column — inline split() in the element_at
+    # lambda re-tokenizes the doc once per bigram (_word_shingle_rows)
+    toks = F.col("toks")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -414,10 +421,10 @@ def lm_score(docs: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bi = docs.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
-    uni = docs.select(F.explode(toks).alias("w"))
+    bi = docs.select("doc_id", words_col().alias("toks")).select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = docs.select(F.explode(words_col()).alias("w"))
     c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
     v = uni.select(F.count_distinct("w").alias("v"))
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
