@@ -202,11 +202,19 @@ def write_index(
                 .alias("doc_len"),
                 *extra,
             )
-        ds.write.mode("overwrite").parquet(str(out / "docstats"))
-        ds2 = spark.read.parquet(str(out / "docstats"))
-        row = ds2.agg(
-            F.count("*").alias("n"), F.sum("doc_len").alias("s"), F.avg("doc_len").alias("a")
-        ).collect()[0]
+        # the corpus scalars ride the write itself as observe metrics —
+        # no read-back aggregation job (same trick as the dictionary
+        # stage's segment fingerprint)
+        from pyspark.sql import Observation
+
+        obs_ds = Observation("docstats_scalars")
+        ds.observe(
+            obs_ds,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_len").alias("s"),
+            F.avg("doc_len").alias("a"),
+        ).write.mode("overwrite").parquet(str(out / "docstats"))
+        row = obs_ds.get
         stats = {
             "format": INDEX_FORMAT,
             "analyzer": analyzer,
@@ -248,16 +256,14 @@ def write_index(
     # when the corpus carries a lang column (the package analogue).
     if "lang" in corpus.columns and "symbols" not in done:
         t0 = time.perf_counter()
-        from searty_spark.symbols import (
-            _definition_sites,
-            _symbol_id,
-            package_definitions,
-            package_table,
-        )
+        from searty_spark.symbols import _definition_sites, _symbol_id
 
-        # derive the definition sites ONCE; both symbol tables project
-        # from the cached result (the explode is the only real work)
-        sites = _definition_sites(corpus).cache()
+        # the two symbol tables each recompute the sites explode — with
+        # the stepped-sequence extraction (symbols.py) the recompute
+        # (~0.8 s at sf1.0) is cheaper than cache materialization
+        # (measured: cold cache 6.1 s vs recompute 2.6 s for the stage;
+        # warm a wash), and no storage stays pinned
+        sites = _definition_sites(corpus)
         # entity tables are small by construction (distinct symbols /
         # packages, not per-occurrence rows) — coalesce so local runs
         # don't write shuffle.partitions-many near-empty files; the
@@ -272,15 +278,26 @@ def write_index(
         # languages, but collecting them and writing via
         # spark.createDataFrame is NOT a shortcut here — local-relation
         # parquet writes cost 4-7 s each in this environment (measured)
-        # versus ~0.45 s per corpus-aggregation write, so the two tiny
-        # aggregation scans stay
-        package_table(corpus).coalesce(1).write.mode("overwrite").parquet(
-            str(out / "packages")
+        # versus ~0.45 s per corpus-aggregation write. Both tables
+        # project from ONE corpus aggregation (distinct langs with
+        # their min doc_id — a superset of package_table's key set and
+        # exactly package_definitions' rows), checkpointed because it
+        # is bounded by the language count, so the corpus is scanned
+        # once here instead of twice.
+        pk = (
+            corpus.groupBy(F.upper("lang").alias("name"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .localCheckpoint(eager=True)
         )
-        package_definitions(corpus).coalesce(1).write.mode("overwrite").parquet(
-            str(out / "package_definitions")
-        )
-        sites.unpersist()
+        pk.select(F.md5("name").alias("id"), "name").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(out / "packages"))
+        pk.select(
+            F.md5("name").alias("package_id"),
+            F.lit("DEFPACKAGE").alias("specifier"),
+            "doc_id",
+            F.lit(0).cast("long").alias("position"),
+        ).coalesce(1).write.mode("overwrite").parquet(str(out / "package_definitions"))
         _commit(out_dir, "symbols", wall_sec=time.perf_counter() - t0)
 
     # Web text compresses ~10x in parquet and explodes ~3x at tokenize

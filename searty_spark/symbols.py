@@ -75,14 +75,15 @@ def _definition_sites(docs: DataFrame) -> DataFrame:
     # common-subexpression elimination stops at higher-order-function
     # boundaries, so an inline split() would re-tokenize the document
     # once per array element (measured 2.5x the whole stage).
+    # Positions come from a STEPPED sequence (0, 5, 10, ...) — the same
+    # set as filter(sequence(0, n-2), p % 5 == 0) without building and
+    # filtering the full n-element index array (measured 3.3x this
+    # projection at sf1.0, rows identical).
     toks = F.col("toks")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
-            F.filter(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda p: p % 5 == 0,
-            ),
+            F.sequence(F.lit(0), F.size(toks) - 2, F.lit(5)),
             lambda p: F.struct(
                 p.cast("long").alias("position"),
                 F.upper(F.element_at(toks, p + 2)).alias("symbol_name"),

@@ -199,19 +199,19 @@ def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
     counting semantics, unlike the dedup shingles which are per-doc
     sets). One explode + one hash aggregation; ``min_count`` prunes the
     long tail before it is ever shuffled to the output."""
-    # materialized toks column — an inline split() in the slice lambda
-    # re-tokenizes the doc once per gram (see _word_shingle_rows)
-    toks = F.col("toks")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # one linear regex scan per doc instead of split + per-gram
+    # slice/concat (row-identical — see dedup._window_pattern)
+    from searty_spark.dedup import _window_pattern
+
     return (
-        docs.select("doc_id", words_col().alias("toks"))
-        .select("doc_id", F.explode(grams).alias("ngram"))
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(_window_pattern(n)), F.lit(1)
+                )
+            ).alias("ngram"),
+        )
         .groupBy("ngram")
         .agg(
             F.count("*").cast("long").alias("n_occurrences"),
@@ -343,18 +343,17 @@ def ngram_contamination(
     The count costs one extra Spark job whose input is the benchmark,
     which is exactly the side cheap enough to scan twice."""
     def grams(df):
-        # materialized toks column — an inline split() in the slice
-        # lambda re-tokenizes the doc once per gram (_word_shingle_rows)
-        w = F.col("toks")
-        # sequence(1, 0) would generate DESCENDING [1, 0], not empty —
-        # docs shorter than n words must produce an empty index array
-        idx = F.when(
-            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - n + 1)
-        ).otherwise(F.array().cast("array<int>"))
-        return df.select("doc_id", words_col(text_col).alias("toks")).select(
+        # one linear regex scan per doc instead of split + per-gram
+        # slice/concat (row-identical — see dedup._window_pattern);
+        # docs shorter than n words extract nothing by construction
+        from searty_spark.dedup import _window_pattern
+
+        return df.select(
             "doc_id",
             F.explode(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(_window_pattern(n)), F.lit(1)
+                )
             ).alias("gram"),
         )
 

@@ -332,3 +332,80 @@ def test_substring_family_matches_brute_force(spark):
         assert got_spans == want_spans, f"seed {seed} spans"
         got_exc = [tuple(r) for r in excise_duplicates(df, k=k).collect()]
         assert got_exc == want_exc, f"seed {seed} excision"
+
+
+def test_regex_window_extraction_matches_slice_concat(spark):
+    """The r7 regex window generator (_window_pattern) must emit
+    exactly the rows of the original split + slice/concat_ws
+    formulation — same windows, same 1-based positions — on texts
+    exercising every split(" ") edge case: empty tokens from double/
+    leading/trailing spaces, docs shorter than k, single-token docs,
+    empty strings, multibyte text, regex metacharacters in tokens."""
+    texts = [
+        "a b c d e",
+        "a  b c",          # empty token mid-string
+        " a b c",          # leading space -> empty first token
+        "a b c ",          # trailing space -> empty last token
+        "  ",              # only empty tokens
+        "",                # empty text (one empty token after split)
+        "one",             # fewer tokens than k
+        "a b",             # exactly k tokens (k=2 case below)
+        "ü ber münz str",  # multibyte
+        "a.* [b] (c) |d",  # regex metacharacters are data, not syntax
+        "x " * 50,         # long repetitive text
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from searty_spark.dedup import _window_pattern
+
+    for k in (2, 3, 10):
+        toks = F.col("toks")
+        wins = F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.struct(
+                    (i + 1).alias("pos"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("w"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
+        old = (
+            docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+            .select("doc_id", F.explode(wins).alias("win"))
+            .select("doc_id", F.col("win.pos").alias("pos"), F.col("win.w").alias("w"))
+        )
+        new = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(_window_pattern(k)), F.lit(1)
+                )
+            ).alias("p0", "w"),
+        ).select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "w")
+        o = sorted(map(tuple, old.collect()))
+        n = sorted(map(tuple, new.collect()))
+        assert n == o, f"k={k}: regex windows diverge from slice+concat"
+
+
+def test_simhash_udf_matches_golden(spark):
+    """The vectorized simhash_udf must reproduce _simhash64 (the
+    golden scalar the SQL oracle replays) bit-for-bit, including the
+    no-shingle fallback ({text}) and the signed-long conversion."""
+    from searty_spark.dedup import _simhash64, simhash_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",          # < 3 tokens -> {text} fallback
+        "",                 # empty text -> {text}
+        "a  b  c d",        # empty tokens
+        "ü ber münz str",   # multibyte
+        "x y z " * 30,      # repeated shingles collapse to a set
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    want = {i: _simhash64(t) for i, t in enumerate(texts)}
+    assert got == want
