@@ -44,6 +44,9 @@ def build_postings(
     this saves the segment builder a posting-sized shuffle join
     against the doc-stats table.
     """
+    from searty_spark.session import spread_input
+
+    corpus = spread_input(corpus)
     rows = corpus.select(
         "doc_id", F.posexplode(trigrams_col(text_col, n)).alias("pos", "term")
     ) if not with_doc_len else corpus.select(

@@ -73,7 +73,9 @@ def _word_shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
     The emit condition is therefore has_shingles_col's value verbatim
     (>= k tokens) — dup_clusters' implicit-edge gate must keep
     matching it (CLAUDE.md)."""
-    return docs.select(
+    from searty_spark.session import spread_input
+
+    return spread_input(docs).select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(
@@ -340,7 +342,9 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", simhash_udf("text").alias("simhash"))
+    from searty_spark.session import spread_input
+
+    return spread_input(docs).select("doc_id", simhash_udf("text").alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -547,7 +551,9 @@ def _dup_windows(
     # formulation this replaces re-tokenized the doc once per window
     # and measured ~2.8x slower at sf1.0 (row-identical, property-
     # tested against the slice+concat twin)
-    wins = docs.select(
+    from searty_spark.session import spread_input
+
+    wins = spread_input(docs).select(
         "doc_id",
         F.posexplode(
             F.regexp_extract_all(F.col("text"), F.lit(_window_pattern(k)), F.lit(1))
@@ -701,6 +707,9 @@ def excise_duplicates(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataF
     single-node shuffle hides and a 100-TB network shuffle does not:
     v1's exchange volume is O(corpus tokens), v2's is O(duplicate
     mass) + one corpus-row join."""
+    from searty_spark.session import spread_input
+
+    docs = spread_input(docs)  # rewrite side: token filter per doc is CPU-heavy
     dwin = _dup_windows(docs, k, min_count, first_occ=True)
     removal = dwin.filter(
         (F.col("doc_id") != F.col("first_occ.doc_id"))

@@ -40,6 +40,9 @@ def clean_corpus(
     doc-length-conditioned textops.quality_gopher rule set (length
     bounds, mean word length, symbol ratio, alpha-word ratio,
     top-word repetition)."""
+    from searty_spark.session import spread_input
+
+    docs = spread_input(docs)
     if quality == "gopher":
         from searty_spark.textops import quality_gopher
 
@@ -171,7 +174,13 @@ def prepare_training_corpus(
     survive."""
     from pyspark.sql import Window
 
+    from searty_spark.session import spread_input
     from searty_spark.textops import ngram_contamination, quality_gopher, redact_pii
+
+    # single-file fixture corpora scan as 1-2 partitions; every signal
+    # branch below (regex scrub, gopher rules, gram explodes) is CPU-
+    # bound per doc, so spread once here and every branch inherits
+    docs = spread_input(docs)
 
     # extra gopher_kwargs forward to quality_gopher — corpora that are
     # not English prose (e.g. synthetic benchmark text with no

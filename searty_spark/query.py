@@ -168,54 +168,66 @@ def phrase_bm25_topk(
     )
 
 
-def _query_terms_df(spark: SparkSession, toks: list[str]):
-    return spark.createDataFrame(
-        [(i, t) for i, t in enumerate(toks)], "offset int, term string"
-    )
-
-
 def phrase_match_starts(
     postings: DataFrame, query: str, n: int = NGRAM_N
 ) -> DataFrame:
     """(doc_id, rel) — every phrase match start position (Q4+Q5).
 
-    Conjunctive intersection + positional alignment in one aggregation:
-    a row of postings explodes to (term, doc_id, pos); joined with the
-    query's (offset, term) pairs, a match start `rel = pos - offset`
-    must be witnessed by ALL query offsets (count distinct offset ==
-    n_offsets). Duplicate query trigrams contribute one row per offset,
-    so the count handles them exactly (ref semantics minus the panic).
-    """
+    Conjunctive intersection + positional alignment WITHOUT a position
+    explode (r7): each (term, doc) posting row, joined with the query's
+    (offset, term) pairs, shifts its position ARRAY by the offset
+    (rel = pos - offset) as a whole; one groupBy(doc_id) then folds
+    array_intersect over the per-offset rel arrays and requires every
+    offset to be present (row count == n_offsets — duplicate query
+    trigrams contribute one row per offset, so the count handles them
+    exactly; ref semantics minus the panic). A match start survives
+    iff every offset witnessed it — the same set the exploded
+    (doc, rel, offset) count-distinct formulation produced, at one
+    shuffle of posting-row-sized data instead of three position-row
+    shuffles (scan -> prune agg -> explode/semi-join -> align agg);
+    positions are distinct within a posting, so array_intersect's set
+    semantics are exact."""
     spark = postings.sparkSession
     toks = tokenize(query, n)
     if not toks:
         return spark.createDataFrame([], "doc_id long, rel int")
-    qterms = _query_terms_df(spark, toks)
     uniq = sorted(set(toks))
     rows = postings.filter(F.col("term").isin(uniq)).select(
         "term", "doc_id", "positions"
     )
-    # conjunctive doc pruning BEFORE the position explode: a match
-    # needs every distinct query term, so docs missing one contribute
-    # nothing — pruning here cuts the explode (the expensive part,
-    # |positions| rows per posting) to the candidate docs only. The
-    # pre-pass itself runs at posting-row granularity (cheap).
-    cand = (
-        rows.groupBy("doc_id")
-        .agg(F.count_distinct("term").alias("nt"))
-        .filter(F.col("nt") == len(uniq))
-        .select("doc_id")
+    # term -> its query offsets as a LITERAL map: the (offset, term)
+    # side is a handful of constants, so attaching offsets is an
+    # element_at + explode instead of a broadcast join (no local
+    # relation to ship, no broadcast exchange/job per query)
+    offs: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        offs.setdefault(t, []).append(i)
+    qmap = F.create_map(
+        *[
+            x
+            for t in uniq
+            for x in (F.lit(t), F.array(*[F.lit(o) for o in offs[t]]))
+        ]
     )
-    occ = rows.join(cand, "doc_id", "left_semi").select(
-        "term", "doc_id", F.explode("positions").alias("pos")
+    per_offset = rows.select(
+        "doc_id", "positions", F.explode(F.element_at(qmap, F.col("term"))).alias("offset")
+    ).select(
+        "doc_id",
+        F.expr("transform(positions, p -> p - offset)").alias("rels"),
+    )
+    folded = per_offset.groupBy("doc_id").agg(
+        F.count("*").alias("n_offsets"),
+        F.aggregate(
+            F.collect_list("rels"),
+            F.lit(None).cast("array<int>"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                F.array_intersect(acc, x)
+            ),
+        ).alias("rels"),
     )
     return (
-        occ.join(F.broadcast(qterms), "term")
-        .select("doc_id", (F.col("pos") - F.col("offset")).alias("rel"), "offset")
-        .groupBy("doc_id", "rel")
-        .agg(F.count_distinct("offset").alias("n_offsets"))
-        .filter(F.col("n_offsets") == len(toks))
-        .select("doc_id", "rel")
+        folded.filter(F.col("n_offsets") == len(toks))
+        .select("doc_id", F.explode("rels").alias("rel"))
     )
 
 

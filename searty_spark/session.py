@@ -58,3 +58,20 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addPyFile(_package_zip())
     return spark
+
+
+def spread_input(df, min_factor: int = 1):
+    """Round-robin-repartition ``df`` up to the session's default
+    parallelism when its scan would otherwise under-parallelize the
+    stage above it (guide §2.5 "input skew: one huge unsplittable
+    file"). The fixture corpora are single-row-group parquet files, so
+    every explode/aggregate chained on a bare read runs at 1-2-task
+    parallelism on a 32-core session without this. A no-op whenever the
+    source already carries >= defaultParallelism partitions — i.e. on
+    any real multi-file table — so the exchange only exists where it
+    buys a 16x parallelism win, and identical repartition subtrees are
+    deduplicated at runtime by ReusedExchange."""
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

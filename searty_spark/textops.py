@@ -76,6 +76,9 @@ def quality_gopher(
     partial-aggregated shuffles keyed by doc_id, then a shuffle join
     back. At 10^12 docs all three stages are uniform-keyed (doc_id);
     nothing is driver-side."""
+    from searty_spark.session import spread_input
+
+    docs = spread_input(docs)
     w = words_col()
     n_words = F.size(w).cast("long")
     n_chars = F.char_length("text").cast("long")
@@ -145,7 +148,9 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
     GPT-style byte-pair pre-tokenizer produces), via one JVM regexp —
     the cheap token-budget estimator a training pipeline thresholds
     on."""
-    return docs.select(
+    from searty_spark.session import spread_input
+
+    return spread_input(docs).select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), F.lit(0)))
         .cast("long")
@@ -202,9 +207,10 @@ def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
     # one linear regex scan per doc instead of split + per-gram
     # slice/concat (row-identical — see dedup._window_pattern)
     from searty_spark.dedup import _window_pattern
+    from searty_spark.session import spread_input
 
     return (
-        docs.select(
+        spread_input(docs).select(
             "doc_id",
             F.explode(
                 F.regexp_extract_all(
@@ -252,9 +258,11 @@ def top_terms_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
     oracle replays it exactly."""
     from pyspark.sql import Window
 
+    from searty_spark.session import spread_input
+
     n_docs = docs.count()
     tf = (
-        docs.select("doc_id", F.explode(words_col()).alias("term"))
+        spread_input(docs).select("doc_id", F.explode(words_col()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -357,6 +365,9 @@ def ngram_contamination(
             ).alias("gram"),
         )
 
+    from searty_spark.session import spread_input
+
+    docs = spread_input(docs)
     bench_grams = grams(bench.select(F.col("doc_id"), F.col(text_col))).select(
         "gram"
     ).distinct()
@@ -407,6 +418,9 @@ def lm_score(docs: DataFrame) -> DataFrame:
     keys otherwise), one doc_id aggregation. Nothing quadratic,
     nothing driver-side; V is a 1-row aggregate. Float policy: the
     mean is rounded to 6 like every scored surface (CLAUDE.md)."""
+    from searty_spark.session import spread_input
+
+    docs = spread_input(docs)
     # materialized toks column — inline split() in the element_at
     # lambda re-tokenizes the doc once per bigram (_word_shingle_rows)
     toks = F.col("toks")
