@@ -473,13 +473,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     edges = base.filter(F.col("src") != F.col("dst"))
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        single_parent = (
-            edges.groupBy("src").agg(F.count("*").alias("n")).filter("n > 1").isEmpty()
+        # ONE probe job per round (r7): the star-forest check is the
+        # conjunction "no src has two parents AND no dst reappears as a
+        # src" — a union of the two violation relations is empty iff
+        # both are, so a single isEmpty action replaces two per round
+        multi_parent = (
+            edges.groupBy("src").agg(F.count("*").alias("n")).filter("n > 1")
+            .select(F.lit(1).alias("v"))
         )
-        no_chain = edges.join(
+        chain = edges.join(
             edges.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
-        ).isEmpty()
-        if single_parent and no_chain:
+        ).select(F.lit(1).alias("v"))
+        if multi_parent.union(chain).isEmpty():
             non_roots = edges.select(
                 F.col("src").alias("node"), F.col("dst").alias("cluster_id")
             )
@@ -536,14 +541,32 @@ def dup_clusters(docs: DataFrame, threshold: float = 0.4, k: int = 3) -> DataFra
 
 
 def _dup_windows(
-    docs: DataFrame, k: int, min_count: int, first_occ: bool = False
+    docs: DataFrame,
+    k: int,
+    min_count: int,
+    first_occ: bool = False,
+    hash_windows: bool = False,
 ) -> DataFrame:
     """(doc_id, pos, e[, first_occ]) — every k-token window whose exact
     text occurs at least ``min_count`` times corpus-wide (all
     occurrences count, including repeats inside one document). pos/e
     are 1-based inclusive token bounds [pos, pos + k - 1]; with
     ``first_occ`` each row also carries the window's corpus-wide
-    minimum (doc_id, pos) — the excision keeper."""
+    minimum (doc_id, pos) — the excision keeper.
+
+    ``hash_windows`` keys the one wide shuffle (the window groupBy and
+    the occurrence join) on ``xxhash64(w)`` instead of the raw k-token
+    window text — a pure TRANSPORT optimization: at k=10 the text key
+    is ~60-70 bytes/row where the hash is 8, so the exchange a 100-TB
+    run pays most for shrinks ~8x, and the window strings never cross
+    any exchange at all. Semantics are identical unless two DISTINCT
+    window texts collide in xxhash64 (they would then share a count /
+    first-occurrence group); the 64-bit birthday bound puts that at
+    ~p = n_distinct^2 / 2^65 — ~3e-6 at 10^9 distinct windows — so the
+    text key stays the DEFAULT (the engine-portable, oracle-replayable
+    semantics every gate runs), and the hash key is the documented
+    opt-in for corpus scales where the transport dominates
+    (parity-tested row-identical on the fixture corpora)."""
     # window generation is one linear regex scan per document (see
     # _window_pattern / _word_shingle_rows): extracted windows arrive
     # in token order, so posexplode's index IS the 1-based token
@@ -559,23 +582,29 @@ def _dup_windows(
             F.regexp_extract_all(F.col("text"), F.lit(_window_pattern(k)), F.lit(1))
         ).alias("p0", "w"),
     ).select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "w")
+    key = "w"
+    if hash_windows:
+        wins = wins.select("doc_id", "pos", F.xxhash64("w").alias("wh"))
+        key = "wh"
     aggs = [F.count("*").alias("cnt")]
     carry = []
     if first_occ:
         aggs.append(F.min(F.struct("doc_id", "pos")).alias("first_occ"))
         carry = ["first_occ"]
     dup = (
-        wins.groupBy("w")
+        wins.groupBy(key)
         .agg(*aggs)
         .filter(F.col("cnt") >= min_count)
-        .select("w", *carry)
+        .select(key, *carry)
     )
-    return wins.join(dup, "w").select(
+    return wins.join(dup, key).select(
         "doc_id", "pos", (F.col("pos") + k - 1).alias("e"), *carry
     )
 
 
-def dup_spans(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataFrame:
+def dup_spans(
+    docs: DataFrame, k: int = 10, min_count: int = 2, hash_windows: bool = False
+) -> DataFrame:
     """(doc_id, span_start, span_end) — maximal duplicated substring
     spans: 1-based inclusive token ranges covered by k-token windows
     whose exact text appears >= min_count times in the corpus, with
@@ -604,7 +633,7 @@ def dup_spans(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataFrame:
     Reference parity: searty has no substring dedup (it indexes code);
     this is part of the LLM-training-data operator set layered on the
     same corpus model."""
-    dwin = _dup_windows(docs, k, min_count)
+    dwin = _dup_windows(docs, k, min_count, hash_windows=hash_windows)
     w_prev = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -632,13 +661,15 @@ def dup_spans(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataFrame:
     )
 
 
-def substring_dup_stats(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataFrame:
+def substring_dup_stats(
+    docs: DataFrame, k: int = 10, min_count: int = 2, hash_windows: bool = False
+) -> DataFrame:
     """(doc_id, n_tokens, dup_tokens, dup_frac) for EVERY document —
     dup_tokens is the union coverage of the doc's duplicated spans
     (dup_spans semantics), 0 for clean docs. One left join of the
     span aggregate back onto the corpus; everything upstream is the
     dup_spans plan."""
-    spans = dup_spans(docs, k, min_count)
+    spans = dup_spans(docs, k, min_count, hash_windows=hash_windows)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
     )
@@ -660,7 +691,11 @@ def substring_dup_stats(docs: DataFrame, k: int = 10, min_count: int = 2) -> Dat
 
 
 def substring_dedup(
-    docs: DataFrame, k: int = 10, min_count: int = 2, max_dup_frac: float = 0.2
+    docs: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    max_dup_frac: float = 0.2,
+    hash_windows: bool = False,
 ) -> DataFrame:
     """Survivor stats rows (doc_id, n_tokens, dup_tokens, dup_frac)
     for documents whose duplicated-substring coverage is <=
@@ -668,13 +703,15 @@ def substring_dedup(
     applies from substring_dup_stats (drop boilerplate-heavy docs;
     span-level excision is a policy variant over the same spans)."""
     return (
-        substring_dup_stats(docs, k, min_count)
+        substring_dup_stats(docs, k, min_count, hash_windows=hash_windows)
         .filter(F.col("dup_frac") <= max_dup_frac)
         .orderBy("doc_id")
     )
 
 
-def excise_duplicates(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataFrame:
+def excise_duplicates(
+    docs: DataFrame, k: int = 10, min_count: int = 2, hash_windows: bool = False
+) -> DataFrame:
     """(doc_id, clean_text, n_removed_tokens) — the Lee et al. 2022
     output transform: every duplicated k-token window keeps its
     corpus-wide FIRST occurrence (minimum (doc_id, pos)) and every
@@ -710,7 +747,7 @@ def excise_duplicates(docs: DataFrame, k: int = 10, min_count: int = 2) -> DataF
     from searty_spark.session import spread_input
 
     docs = spread_input(docs)  # rewrite side: token filter per doc is CPU-heavy
-    dwin = _dup_windows(docs, k, min_count, first_occ=True)
+    dwin = _dup_windows(docs, k, min_count, first_occ=True, hash_windows=hash_windows)
     removal = dwin.filter(
         (F.col("doc_id") != F.col("first_occ.doc_id"))
         | (F.col("pos") != F.col("first_occ.pos"))

@@ -268,9 +268,15 @@ def write_index(
         # packages, not per-occurrence rows) — coalesce so local runs
         # don't write shuffle.partitions-many near-empty files; the
         # per-occurrence definitions table keeps its partitioning
-        sites.select(
-            _symbol_id().alias("id"), F.col("symbol_name").alias("name"), "package_name"
-        ).distinct().coalesce(4).write.mode("overwrite").parquet(str(out / "symbols"))
+        # distinct BEFORE the md5: the surrogate id is a pure function
+        # of (package_name, symbol_name), so hashing after the distinct
+        # computes ~n_symbols md5s instead of one per occurrence row
+        sites.select(F.col("symbol_name").alias("name"), "package_name").distinct(
+        ).select(
+            F.md5(F.concat_ws(":", F.col("package_name"), F.col("name"))).alias("id"),
+            "name",
+            "package_name",
+        ).coalesce(4).write.mode("overwrite").parquet(str(out / "symbols"))
         sites.select(
             _symbol_id().alias("symbol_id"), "specifier", "doc_id", "position"
         ).write.mode("overwrite").parquet(str(out / "symbol_definitions"))

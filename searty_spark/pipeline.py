@@ -49,27 +49,35 @@ def clean_corpus(
         keep = quality_gopher(docs, min_words=min_tokens).filter(
             F.col("gopher_pass")
         ).select("doc_id")
-        base = docs.join(keep, "doc_id", "left_semi").select("doc_id", "text")
     elif quality == "basic":
         w = F.split(F.col("text"), " ")
         q = docs.select(
             "doc_id",
-            "text",
             F.size(w).alias("n_tok"),
             (F.size(F.array_distinct(w)) / F.size(w)).alias("ur"),
         )
-        base = q.filter(
+        keep = q.filter(
             (F.col("n_tok") >= min_tokens) & (F.col("ur") >= min_uniq_ratio)
-        ).select("doc_id", "text")
+        ).select("doc_id")
     else:
         raise ValueError(f"quality must be basic|gopher, got {quality!r}")
-    keep_exact = base.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # checkpoint the surviving doc_id SETS, not the text: base feeds
+    # ~six downstream consumers (exact-dedup, three shingle passes,
+    # the final assembly joins), and each lazy consumption would
+    # re-evaluate the per-doc quality expressions (array_distinct /
+    # gopher rules over every token) from scratch. The pinned state is
+    # one long per surviving doc — the same bounded-id discipline
+    # connected_components already uses for its edge set — and the
+    # consumers re-derive (doc_id, text) with a cheap semi-join.
+    keep = keep.localCheckpoint(eager=True)
+    base = docs.join(keep, "doc_id", "left_semi").select("doc_id", "text")
+    keep_exact = (
+        base.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
     )
-    # no cache: library functions must not pin storage the caller
-    # can't release (see dedup.minhash_lsh_pairs); the recompute is
-    # two codegen'd scans, measured cheaper than materialization
-    base = base.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+    base = base.join(keep_exact, "doc_id", "left_semi")
     clusters = connected_components(
         minhash_lsh_pairs(base, threshold=jacc_threshold).select("doc_a", "doc_b")
     )

@@ -102,11 +102,19 @@ def seen_store_lookup(
         .distinct()
         .collect()
     ]
-    return (
-        spark.read.parquet(seen_dir)
-        .filter(F.col("kb").isin(buckets))
-        .select("key")
-    )
+    store = spark.read.parquet(seen_dir)
+    if "kb" not in store.columns:
+        # a pre-bucketing store (plain key-only parquet, written before
+        # the kb= partitioning existed) — fail fast with the remedy
+        # instead of an unresolved-column error mid-stream (ADVICE r6);
+        # same policy as stats.json's format stamp
+        raise ValueError(
+            f"seen-keys store at {seen_dir} has no kb= hash-bucket "
+            "partitioning (pre-bucketing layout); rebuild it by replaying "
+            "seen_store_append over the keys (read the old store's key "
+            "column and append it to a fresh directory)"
+        )
+    return store.filter(F.col("kb").isin(buckets)).select("key")
 
 
 def incremental_index_stream(

@@ -120,15 +120,20 @@ def _symbol_id() -> F.Column:
 
 
 def symbol_table(docs: DataFrame) -> DataFrame:
-    """symbol(id, name, package_name) — ref schema.sql:26-31."""
+    """symbol(id, name, package_name) — ref schema.sql:26-31.
+
+    The md5 surrogate id is a pure function of the (package, name)
+    pair, so it is computed AFTER the distinct (n_symbols hashes, not
+    one per occurrence row)."""
     return (
         _definition_sites(docs)
+        .select(F.col("symbol_name").alias("name"), "package_name")
+        .distinct()
         .select(
-            _symbol_id().alias("id"),
-            F.col("symbol_name").alias("name"),
+            F.md5(F.concat_ws(":", F.col("package_name"), F.col("name"))).alias("id"),
+            "name",
             "package_name",
         )
-        .distinct()
     )
 
 

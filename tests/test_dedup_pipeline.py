@@ -409,3 +409,21 @@ def test_simhash_udf_matches_golden(spark):
     got = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
     want = {i: _simhash64(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_hash_windows_transport_parity(spark, small_corpus):
+    """hash_windows=True (xxhash64 window keys — the 100-TB transport
+    shape) must be row-identical to the text-keyed default on the gate
+    corpora, for the whole substring family."""
+    from searty_spark.dedup import dup_spans, excise_duplicates, substring_dup_stats
+
+    for fn, kw in [
+        (dup_spans, {}),
+        (substring_dup_stats, {}),
+        (excise_duplicates, {}),
+    ]:
+        text = sorted(map(tuple, fn(small_corpus, k=5, **kw).collect()))
+        hashed = sorted(
+            map(tuple, fn(small_corpus, k=5, hash_windows=True, **kw).collect())
+        )
+        assert hashed == text, f"{fn.__name__}: hash-keyed output diverges"
