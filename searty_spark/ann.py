@@ -449,6 +449,7 @@ def pq_topk(
     candidates: DataFrame | None = None,
     codes: DataFrame | None = None,
     cents: np.ndarray | None = None,
+    _qv: np.ndarray | None = None,
 ) -> DataFrame:
     """(vec_id, cos) — ADC (asymmetric distance computation) top-k:
     approx_cos(q, x) = sum_j <q_j, codebook_j[code_j(x)]> read from a
@@ -478,8 +479,14 @@ def pq_topk(
     an (n_cells,) broadcast next to the (m x k) table."""
     b = np.asarray(books, dtype=np.float64)
     m, kk, dsub = b.shape
-    q_rows = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
-    qv = _unit_rows(np.asarray(q_rows[0]["embedding"], dtype=np.float64)[None, :])[0]
+    if _qv is None:
+        # callers that already fetched the query vector (ivf_pq_topk)
+        # pass it through — one driver fetch job per query, not two
+        q_rows = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            "embedding"
+        ).collect()
+        _qv = _unit_rows(np.asarray(q_rows[0]["embedding"], dtype=np.float64)[None, :])[0]
+    qv = _qv
     # the ADC lookup table: T[j, c] = <q_j, books[j, c]>
     tbl = np.stack([b[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)])
     c_arr = None if cents is None else np.asarray(cents, dtype=np.float64)
@@ -613,14 +620,14 @@ def ivf_pq_topk(
         )
         return pq_topk(
             embeddings, query_vec_id, books, k=k, refine=refine, codes=probed,
-            cents=res_cents,
+            cents=res_cents, _qv=qv,
         )
     if assign is None:
         assign = ivf_assign_centroids(embeddings, cents)
     cand = assign.filter(F.col("cell").isin(probe)).select("vec_id")
     return pq_topk(
         embeddings, query_vec_id, books, k=k, refine=refine, candidates=cand,
-        codes=codes, cents=res_cents,
+        codes=codes, cents=res_cents, _qv=qv,
     )
 
 

@@ -26,11 +26,13 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Per-doc quality features: length, lexical diversity, stopword
     ratio, mean token length. A 100-TB pipeline would threshold on
     these columns to filter the corpus; all JVM-side."""
+    from searty_spark.session import spread_input
+
     w = words_col()
     n_tok = F.size(w).cast("long")
     n_uniq = F.size(F.array_distinct(w)).cast("long")
     n_stop = F.size(F.filter(w, lambda x: x.isin(STOPWORDS))).cast("long")
-    return docs.select(
+    return spread_input(docs).select(
         "doc_id",
         F.char_length("text").cast("long").alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -126,7 +128,9 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — order-insensitive content fingerprint: md5 over
     the sorted distinct token set. Used for near-dup bucketing and
     incremental re-crawl detection."""
-    return docs.select(
+    from searty_spark.session import spread_input
+
+    return spread_input(docs).select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words_col())))).alias("fp"),
     ).orderBy("doc_id")
@@ -184,7 +188,9 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .when(c_es >= c_fr, "es")
         .otherwise("fr")
     )
-    return docs.select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
+    from searty_spark.session import spread_input
+
+    return spread_input(docs).select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
 
 
 def lang_stats(docs: DataFrame) -> DataFrame:
