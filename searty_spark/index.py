@@ -114,6 +114,36 @@ def _unit_metric(out_dir: str, unit: str, key: str):
     return val
 
 
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Warm one reusable Python worker per core in the background (see
+    write_index). Thread-safe: job descriptions/groups are thread-local
+    in Spark, so the prewarm job never relabels the caller's jobs."""
+    import threading
+
+    def _go():
+        try:
+            n = spark.sparkContext.defaultParallelism
+
+            def _touch(batches):
+                import numpy  # noqa: F401  — the encoder's imports
+                import pandas  # noqa: F401
+
+                yield from batches
+
+            (
+                spark.range(n)
+                .repartition(n)
+                .mapInPandas(_touch, "id long")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        except Exception:
+            pass  # best-effort; the real stage pays the spin-up instead
+
+    threading.Thread(target=_go, daemon=True).start()
+
+
 def write_index(
     corpus: DataFrame,
     out_dir: str,
@@ -151,6 +181,16 @@ def write_index(
     if analyzer not in ("trigram", "lisp"):
         raise ValueError(f"unknown analyzer {analyzer!r} (trigram | lisp)")
     spark = corpus.sparkSession
+    # Overlap Python-worker spin-up with the pure-JVM early stages
+    # (guide §2.6, overlapping independent jobs): the first
+    # applyInPandas stage (segments) otherwise pays daemon fork +
+    # numpy/pandas import for every core inside its own wall. A
+    # background thread runs one trivial mapInPandas job across the
+    # session's cores while docstats/symbols (no Python) execute, so
+    # the worker pool is warm (spark.python.worker.reuse) by the time
+    # the encoder needs it. Fire-and-forget: failure or a tardy finish
+    # costs nothing — the job's output is discarded.
+    _prewarm_python_workers(spark)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     done = _done_units(out_dir) if resume else set()
