@@ -92,9 +92,14 @@ def _done_units(out_dir: str) -> set[str]:
     return {json.loads(line)["unit"] for line in p.read_text().splitlines() if line}
 
 
+_CKPT_LOCK = __import__("threading").Lock()
+
+
 def _commit(out_dir: str, unit: str, **metrics) -> None:
     rec = {"unit": unit, "ts": time.time(), **metrics}
-    with _ckpt_path(out_dir).open("a") as f:
+    # stages 1/1b commit from concurrent threads (write_index) — the
+    # lock keeps the jsonl line-atomic within this process
+    with _CKPT_LOCK, _ckpt_path(out_dir).open("a") as f:
         f.write(json.dumps(rec) + "\n")
 
 
@@ -207,8 +212,13 @@ def write_index(
         if key_col is not None and key_col not in corpus.columns:
             raise ValueError(f"doc_key column {key_col!r} not in corpus")
 
-    # --- stage 1: doc stats (+ global scalars) --------------------------
-    if "docstats" not in done:
+    # --- stages 1 + 1b: doc stats and the symbol sidecar ------------------
+    # Independent stages (both pure functions of the corpus, writing
+    # disjoint subtrees, committing separate units) run CONCURRENTLY
+    # from a 2-thread pool (guide §2.6): their jobs back-fill each
+    # other's stragglers instead of serializing two corpus passes.
+    # Resume semantics are unchanged — the done-units set is unordered.
+    def run_docstats():
         t0 = time.perf_counter()
         # one narrow projection, no join: doc_len is an expression over
         # the text column and key/lang ride along from the same row
@@ -268,6 +278,113 @@ def write_index(
         wall = time.perf_counter() - t0
         _commit(out_dir, "docstats", wall_sec=wall, rows=stats["n_docs"],
                 docs_per_sec=stats["n_docs"] / wall)
+
+    # stage 1b body: the analogue of the reference's symbol/package/
+    # symbol_definition/package_definition tables (schema.sql:26-64),
+    # persisted next to the segments so `query --symbol` never touches
+    # the corpus. Only emitted when the corpus carries a lang column
+    # (the package analogue).
+    def run_symbols():
+        t0 = time.perf_counter()
+        from searty_spark.symbols import _definition_sites, _symbol_id
+
+        # the two symbol tables each recompute the sites explode — with
+        # the stepped-sequence extraction (symbols.py) the recompute
+        # (~0.8 s at sf1.0) is cheaper than cache materialization
+        # (measured: cold cache 6.1 s vs recompute 2.6 s for the stage;
+        # warm a wash), and no storage stays pinned
+        sites = _definition_sites(corpus)
+
+        def write_entity():
+            # entity tables are small by construction (distinct symbols
+            # / packages, not per-occurrence rows) — coalesce so local
+            # runs don't write shuffle.partitions-many near-empty
+            # files. distinct BEFORE the md5: the surrogate id is a
+            # pure function of (package_name, symbol_name), so hashing
+            # after the distinct computes ~n_symbols md5s instead of
+            # one per occurrence row.
+            sites.select(
+                F.col("symbol_name").alias("name"), "package_name"
+            ).distinct().select(
+                F.md5(F.concat_ws(":", F.col("package_name"), F.col("name"))).alias(
+                    "id"
+                ),
+                "name",
+                "package_name",
+            ).coalesce(4).write.mode("overwrite").parquet(str(out / "symbols"))
+
+        def write_defs():
+            # the per-occurrence definitions table keeps its partitioning
+            sites.select(
+                _symbol_id().alias("symbol_id"), "specifier", "doc_id", "position"
+            ).write.mode("overwrite").parquet(str(out / "symbol_definitions"))
+
+        def write_packages():
+            # nb: the package tables are bounded by the number of
+            # distinct languages, but collecting them and writing via
+            # spark.createDataFrame is NOT a shortcut here —
+            # local-relation parquet writes cost 4-7 s each in this
+            # environment (measured) versus ~0.45 s per
+            # corpus-aggregation write. Both tables project from ONE
+            # corpus aggregation (distinct langs with their min doc_id
+            # — a superset of package_table's key set and exactly
+            # package_definitions' rows), checkpointed because it is
+            # bounded by the language count, so the corpus is scanned
+            # once here instead of twice.
+            pk = (
+                corpus.groupBy(F.upper("lang").alias("name"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .localCheckpoint(eager=True)
+            )
+            pk.select(F.md5("name").alias("id"), "name").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(out / "packages"))
+            pk.select(
+                F.md5("name").alias("package_id"),
+                F.lit("DEFPACKAGE").alias("specifier"),
+                "doc_id",
+                F.lit(0).cast("long").alias("position"),
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(out / "package_definitions")
+            )
+
+        # the four sidecar writes are independent jobs over disjoint
+        # output dirs — overlap them (guide §2.6) instead of paying
+        # four sequential job walls
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=3) as wpool:
+            for f in [
+                wpool.submit(write_entity),
+                wpool.submit(write_defs),
+                wpool.submit(write_packages),
+            ]:
+                f.result()
+        _commit(out_dir, "symbols", wall_sec=time.perf_counter() - t0)
+
+    if "docstats" in done:
+        # resuming: fail fast on a foreign format / mixed analyzer
+        # BEFORE any further stage runs (see the check below)
+        prior = load_stats(out_dir)
+        if prior.get("analyzer", "trigram") != analyzer:
+            raise ValueError(
+                f"index at {out_dir} was started with analyzer="
+                f"{prior.get('analyzer', 'trigram')!r}; resuming with "
+                f"{analyzer!r} would mix analyzers — use a fresh out_dir "
+                "or resume with the original analyzer"
+            )
+
+    import concurrent.futures as cf
+
+    stage1 = []
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        if "docstats" not in done:
+            stage1.append(pool.submit(run_docstats))
+        if "lang" in corpus.columns and "symbols" not in done:
+            stage1.append(pool.submit(run_symbols))
+        for f in stage1:
+            f.result()
+
     # load_stats (not a raw read) so resuming over a foreign-format
     # index dir fails fast instead of skipping relocated stages
     stats = load_stats(out_dir)
@@ -288,63 +405,6 @@ def write_index(
         corpus.select(*cols).write.mode("overwrite").parquet(str(out / "documents"))
         _commit(out_dir, "documents", wall_sec=time.perf_counter() - t0,
                 rows=stats["n_docs"])
-
-    # --- stage 1b: symbol/package metadata sidecar -----------------------
-    # The analogue of the reference's symbol/package/symbol_definition/
-    # package_definition tables (schema.sql:26-64), persisted next to the
-    # segments so `query --symbol` never touches the corpus. Only emitted
-    # when the corpus carries a lang column (the package analogue).
-    if "lang" in corpus.columns and "symbols" not in done:
-        t0 = time.perf_counter()
-        from searty_spark.symbols import _definition_sites, _symbol_id
-
-        # the two symbol tables each recompute the sites explode — with
-        # the stepped-sequence extraction (symbols.py) the recompute
-        # (~0.8 s at sf1.0) is cheaper than cache materialization
-        # (measured: cold cache 6.1 s vs recompute 2.6 s for the stage;
-        # warm a wash), and no storage stays pinned
-        sites = _definition_sites(corpus)
-        # entity tables are small by construction (distinct symbols /
-        # packages, not per-occurrence rows) — coalesce so local runs
-        # don't write shuffle.partitions-many near-empty files; the
-        # per-occurrence definitions table keeps its partitioning
-        # distinct BEFORE the md5: the surrogate id is a pure function
-        # of (package_name, symbol_name), so hashing after the distinct
-        # computes ~n_symbols md5s instead of one per occurrence row
-        sites.select(F.col("symbol_name").alias("name"), "package_name").distinct(
-        ).select(
-            F.md5(F.concat_ws(":", F.col("package_name"), F.col("name"))).alias("id"),
-            "name",
-            "package_name",
-        ).coalesce(4).write.mode("overwrite").parquet(str(out / "symbols"))
-        sites.select(
-            _symbol_id().alias("symbol_id"), "specifier", "doc_id", "position"
-        ).write.mode("overwrite").parquet(str(out / "symbol_definitions"))
-        # nb: the package tables are bounded by the number of distinct
-        # languages, but collecting them and writing via
-        # spark.createDataFrame is NOT a shortcut here — local-relation
-        # parquet writes cost 4-7 s each in this environment (measured)
-        # versus ~0.45 s per corpus-aggregation write. Both tables
-        # project from ONE corpus aggregation (distinct langs with
-        # their min doc_id — a superset of package_table's key set and
-        # exactly package_definitions' rows), checkpointed because it
-        # is bounded by the language count, so the corpus is scanned
-        # once here instead of twice.
-        pk = (
-            corpus.groupBy(F.upper("lang").alias("name"))
-            .agg(F.min("doc_id").alias("doc_id"))
-            .localCheckpoint(eager=True)
-        )
-        pk.select(F.md5("name").alias("id"), "name").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(out / "packages"))
-        pk.select(
-            F.md5("name").alias("package_id"),
-            F.lit("DEFPACKAGE").alias("specifier"),
-            "doc_id",
-            F.lit(0).cast("long").alias("position"),
-        ).coalesce(1).write.mode("overwrite").parquet(str(out / "package_definitions"))
-        _commit(out_dir, "symbols", wall_sec=time.perf_counter() - t0)
 
     # Web text compresses ~10x in parquet and explodes ~3x at tokenize
     # time, so input splits sized for scan parallelism are far too

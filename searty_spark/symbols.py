@@ -92,8 +92,10 @@ def _definition_sites(docs: DataFrame) -> DataFrame:
     ).otherwise(
         F.array().cast("array<struct<position:bigint,symbol_name:string>>")
     )
+    from searty_spark.session import spread_input
+
     return (
-        docs.select(
+        spread_input(docs).select(
             "doc_id",
             F.upper("lang").alias("package_name"),
             F.split(F.col("text"), " ").alias("toks"),
