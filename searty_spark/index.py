@@ -374,38 +374,6 @@ def write_index(
                 "or resume with the original analyzer"
             )
 
-    import concurrent.futures as cf
-
-    stage1 = []
-    with cf.ThreadPoolExecutor(max_workers=2) as pool:
-        if "docstats" not in done:
-            stage1.append(pool.submit(run_docstats))
-        if "lang" in corpus.columns and "symbols" not in done:
-            stage1.append(pool.submit(run_symbols))
-        for f in stage1:
-            f.result()
-
-    # load_stats (not a raw read) so resuming over a foreign-format
-    # index dir fails fast instead of skipping relocated stages
-    stats = load_stats(out_dir)
-    if stats.get("analyzer", "trigram") != analyzer:
-        # resuming a trigram checkpoint with analyzer="lisp" would skip
-        # the char-derived docstats stage and then join lisp tokens onto
-        # trigram doc lengths — a silently inconsistent index
-        raise ValueError(
-            f"index at {out_dir} was started with analyzer="
-            f"{stats.get('analyzer', 'trigram')!r}; resuming with "
-            f"{analyzer!r} would mix analyzers — use a fresh out_dir or "
-            "resume with the original analyzer"
-        )
-
-    if store_docs and "documents" not in done:
-        t0 = time.perf_counter()
-        cols = ["doc_id"] + [c for c in ("url",) if c in corpus.columns] + [text_col]
-        corpus.select(*cols).write.mode("overwrite").parquet(str(out / "documents"))
-        _commit(out_dir, "documents", wall_sec=time.perf_counter() - t0,
-                rows=stats["n_docs"])
-
     # Web text compresses ~10x in parquet and explodes ~3x at tokenize
     # time, so input splits sized for scan parallelism are far too
     # coarse for the tokenize stages — spread the corpus first.
@@ -437,43 +405,94 @@ def write_index(
             F.posexplode(trigrams_col(text_col)).alias("pos", "term"),
         )
 
-    # --- stage 3: segments, in resumable shard batches -------------------
+    # --- stage 3 body: segments, in resumable shard batches ---------------
     # Default: ONE job covering every shard (dynamic partition
     # overwrite makes the unit write idempotent). shard_batch < n_shards
     # trades throughput for finer resume granularity — at 10^12 docs a
-    # batch is the unit a preempted cluster re-runs.
-    batch = shard_batch or n_shards
-    done = _done_units(out_dir) if resume else set()
-    for lo in range(0, n_shards, batch):
-        hi = min(lo + batch, n_shards)
-        unit = f"segments/shards={lo}-{hi - 1}"
-        if unit in done:
-            continue
-        t0 = time.perf_counter()
+    # batch is the unit a preempted cluster re-runs. For the TRIGRAM
+    # analyzer the token stream derives from the corpus alone (doc_len
+    # is an expression over text), so this runs CONCURRENTLY with
+    # stages 1/1b — corpus stats are only needed for the commit's
+    # throughput metric, fetched via ``get_stats`` (which waits for the
+    # docstats future) after the data write. The lisp analyzer's token
+    # lengths JOIN the docstats table, so it stays sequential.
+    def run_segments(get_stats):
+        batch = shard_batch or n_shards
+        sdone = _done_units(out_dir) if resume else set()
         from searty_spark.segments import build_segments_from_tokens
 
-        toks = tokens_with_len().filter(
-            F.pmod(F.col("doc_id"), F.lit(n_shards)).between(lo, hi - 1)
+        for lo in range(0, n_shards, batch):
+            hi = min(lo + batch, n_shards)
+            unit = f"segments/shards={lo}-{hi - 1}"
+            if unit in sdone:
+                continue
+            t0 = time.perf_counter()
+            toks = tokens_with_len().filter(
+                F.pmod(F.col("doc_id"), F.lit(n_shards)).between(lo, hi - 1)
+            )
+            seg = build_segments_from_tokens(
+                toks,
+                n_shards=n_shards,
+                n_buckets=n_buckets,
+            )
+            seg.write.partitionBy("shard", "bucket").mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(str(out / "segments"))
+            wall = time.perf_counter() - t0
+            # dense doc_ids spread uniformly over shards by pmod
+            n_docs_part = get_stats()["n_docs"] * (hi - lo) // n_shards
+            _commit(
+                out_dir,
+                unit,
+                wall_sec=wall,
+                docs=n_docs_part,
+                docs_per_sec=n_docs_part / wall if wall else 0.0,
+            )
+            metrics[unit] = wall
+
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=3) as pool:
+        f_ds = pool.submit(run_docstats) if "docstats" not in done else None
+        f_sym = (
+            pool.submit(run_symbols)
+            if "lang" in corpus.columns and "symbols" not in done
+            else None
         )
-        seg = build_segments_from_tokens(
-            toks,
-            n_shards=n_shards,
-            n_buckets=n_buckets,
+
+        def get_stats():
+            if f_ds is not None:
+                f_ds.result()  # surfaces a docstats failure here too
+            return load_stats(out_dir)
+
+        f_seg = pool.submit(run_segments, get_stats) if analyzer == "trigram" else None
+        for f in (f_ds, f_sym, f_seg):
+            if f is not None:
+                f.result()
+
+    # load_stats (not a raw read) so resuming over a foreign-format
+    # index dir fails fast instead of skipping relocated stages
+    stats = load_stats(out_dir)
+    if stats.get("analyzer", "trigram") != analyzer:
+        # resuming a trigram checkpoint with analyzer="lisp" would skip
+        # the char-derived docstats stage and then join lisp tokens onto
+        # trigram doc lengths — a silently inconsistent index
+        raise ValueError(
+            f"index at {out_dir} was started with analyzer="
+            f"{stats.get('analyzer', 'trigram')!r}; resuming with "
+            f"{analyzer!r} would mix analyzers — use a fresh out_dir or "
+            "resume with the original analyzer"
         )
-        seg.write.partitionBy("shard", "bucket").mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).parquet(str(out / "segments"))
-        wall = time.perf_counter() - t0
-        # dense doc_ids spread uniformly over shards by pmod
-        n_docs_part = stats["n_docs"] * (hi - lo) // n_shards
-        _commit(
-            out_dir,
-            unit,
-            wall_sec=wall,
-            docs=n_docs_part,
-            docs_per_sec=n_docs_part / wall if wall else 0.0,
-        )
-        metrics[unit] = wall
+
+    if store_docs and "documents" not in done:
+        t0 = time.perf_counter()
+        cols = ["doc_id"] + [c for c in ("url",) if c in corpus.columns] + [text_col]
+        corpus.select(*cols).write.mode("overwrite").parquet(str(out / "documents"))
+        _commit(out_dir, "documents", wall_sec=time.perf_counter() - t0,
+                rows=stats["n_docs"])
+
+    if analyzer == "lisp":
+        run_segments(lambda: stats)
 
     # --- stage 3: dictionary, DERIVED from the segment rows ---------------
     # global df of a term = sum of its per-shard dfs (doc sets disjoint);
