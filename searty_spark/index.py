@@ -500,8 +500,11 @@ def write_index(
     # the token stream — the second tokenize pass the old design needed is
     # gone entirely.
     done = _done_units(out_dir) if resume else set()
+    need_dict = "dictionary" not in done
+    need_champ = "champions" not in done
     seg_fp: int | None = None
-    if "dictionary" not in done:
+
+    def run_dictionary() -> int:
         from pyspark.sql import Observation
 
         from searty_spark.champions import (
@@ -527,30 +530,50 @@ def write_index(
         )
         d.write.mode("overwrite").parquet(str(out / "dictionary"))
         wall = time.perf_counter() - t0
-        seg_fp = _fp_mod(obs_fp.get["fp"])
+        fp = _fp_mod(obs_fp.get["fp"])
         _commit(
             out_dir, "dictionary",
-            wall_sec=wall, rows=int(obs_n.get["n"]), segment_fp=seg_fp,
+            wall_sec=wall, rows=int(obs_n.get["n"]), segment_fp=fp,
         )
-    elif resume:
-        seg_fp = _unit_metric(out_dir, "dictionary", "segment_fp")
+        return fp
 
     # --- stage 4: champion lists, DERIVED like the dictionary ------------
     # per-head-term top-B postings by impact (stats-free: (doc, tf, dl)
     # rows, scores recomputed at query time) — seeds MaxScore's theta so
     # the seed term stops decoding early (champions.py for the safety
     # argument). Tail corpora produce an empty sidecar (no head terms).
-    done = _done_units(out_dir) if resume else set()
-    if "champions" not in done:
+    def run_champions(dictionary, fp):
         t0 = time.perf_counter()
         from searty_spark.champions import write_champions
 
         n_ch = write_champions(
             load_segments(spark, out_dir), out_dir, stats["n_docs"], stats["avgdl"],
-            dictionary=spark.read.parquet(str(out / "dictionary")),
-            seg_fp=seg_fp,
+            dictionary=dictionary,
+            seg_fp=fp,
         )
         _commit(out_dir, "champions", wall_sec=time.perf_counter() - t0, rows=n_ch)
+
+    if need_dict and need_champ:
+        # Both stages derive independently from the WRITTEN segments
+        # (head selection can sum per-shard df from the segment rows
+        # directly — the same df_global the dictionary materializes —
+        # and the champion meta stamp recomputes the segment
+        # fingerprint in its own thread), so they overlap (guide §2.6).
+        # nb: write_champions flips AQE/shuffle-partition conf around
+        # its bounded write; the dictionary job is a small aggregation
+        # for which those settings are immaterial either way.
+        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+            f_dict = pool.submit(run_dictionary)
+            f_champ = pool.submit(run_champions, None, None)
+            f_champ.result()
+            seg_fp = f_dict.result()
+    else:
+        if need_dict:
+            seg_fp = run_dictionary()
+        elif resume:
+            seg_fp = _unit_metric(out_dir, "dictionary", "segment_fp")
+        if need_champ:
+            run_champions(spark.read.parquet(str(out / "dictionary")), seg_fp)
     return {"stats": stats, "units": metrics}
 
 
