@@ -615,10 +615,16 @@ def q_ivf_pq_topk(spark, sf):
     )
 
 
-def _ann_index_dir(spark, sf) -> str:
+def _ann_index_dir(spark, sf, residual: bool = True) -> str:
     """Build (or reuse) the persisted ANN artifact for this sf_dir —
     the build-once/query-many shape: stored-path gates query parquet
-    codes + JSON codebooks that round-tripped through disk."""
+    codes + JSON codebooks that round-tripped through disk.
+
+    ``residual`` must mirror the gate's ORACLE scheme: codes are
+    scheme-relative (CLAUDE.md), so a gate whose DuckDB twin replays
+    flat PQ must query a flat artifact — cross-scheme "identity" via
+    the refine re-rank holds only while both refine sets happen to
+    contain the same top-k, and it measurably breaks at sf0.1."""
     import tempfile
     from pathlib import Path
 
@@ -626,19 +632,23 @@ def _ann_index_dir(spark, sf) -> str:
 
     import json
 
-    tag = f"c{IVF_CELLS}i{IVF_ITER}m{PQ_M}k{PQ_K}"
+    tag = f"c{IVF_CELLS}i{IVF_ITER}m{PQ_M}k{PQ_K}" + ("" if residual else "flat")
     d = Path(tempfile.gettempdir()) / f"searty_ann_gate_{Path(sf).name}_{tag}"
     stats_p = d / "ann_stats.json"
     fresh = False
     if stats_p.exists():
         try:
-            fresh = json.loads(stats_p.read_text()).get("format") == ann_index.ANN_FORMAT
+            st = json.loads(stats_p.read_text())
+            fresh = (
+                st.get("format") == ann_index.ANN_FORMAT
+                and st.get("residual") == residual
+            )
         except ValueError:
             fresh = False  # truncated/corrupt leftover: rebuild, don't crash
     if not fresh:  # absent OR a stale-format leftover from a prior build
         ann_index.write_ann_index(
             _emb(spark, sf), str(d), n_cells=IVF_CELLS, n_iter=IVF_ITER,
-            sample=IVF_SAMPLE, m=PQ_M, pq_k=PQ_K,
+            sample=IVF_SAMPLE, m=PQ_M, pq_k=PQ_K, residual=residual,
         )
     return str(d)
 
@@ -647,11 +657,15 @@ def q_pq_topk_stored(spark, sf):
     """pq_topk against the PERSISTED codes (ann_index.write_ann_index):
     the ADC scan reads m-byte (vec_id, codes) parquet rows — raw float
     vectors are touched only for the query vector and the refine-row
-    exact re-rank. Result-identical to pq_topk (same DuckDB oracle)."""
+    exact re-rank. The oracle replays FLAT PQ, so the artifact stores
+    flat codes (residual=False): books and codes are then the same
+    pure function of the embeddings on both sides and the candidate
+    cut is identical by construction at every scale factor."""
     from searty_spark import ann_index
 
     return ann_index.pq_topk_indexed(
-        _emb(spark, sf), _ann_index_dir(spark, sf), 0, k=10, refine=PQ_REFINE
+        _emb(spark, sf), _ann_index_dir(spark, sf, residual=False), 0,
+        k=10, refine=PQ_REFINE,
     )
 
 

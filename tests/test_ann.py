@@ -218,6 +218,29 @@ def test_ann_index_query_parity(emb, tmp_path):
     assert all("embedding" not in d.split("ReadSchema", 1)[1][:200] for d in scan_details)
 
 
+def test_flat_stored_matches_flat_recompute(emb, tmp_path):
+    """The pq_topk_stored gate's configuration: a FLAT artifact
+    (residual=False) must be result-identical to the self-contained
+    flat pq_topk — books and codes are the same pure function of the
+    embeddings on both sides, so this identity is structural (the
+    cross-scheme residual-artifact-vs-flat-oracle pairing was only
+    empirical and broke at sf0.1; regression-pinned here)."""
+    from searty_spark import ann_index
+
+    d = str(tmp_path / "ann_flat")
+    ann_index.write_ann_index(emb, d, n_cells=8, n_iter=2, m=8, pq_k=16,
+                              residual=False)
+    books = ann.pq_train(emb, m=8, k=16, n_iter=2)
+    want = [
+        tuple(r) for r in ann.pq_topk(emb, 0, books, k=10, refine=50).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in ann_index.pq_topk_indexed(emb, d, 0, k=10, refine=50).collect()
+    ]
+    assert got == want
+
+
 def _vec_rows(spark, d):
     return {
         (r["vec_id"], r["cell"], tuple(r["codes"]))
